@@ -1,0 +1,108 @@
+"""Densification: weighted patch-to-pixel flow aggregation (DIS step 4).
+
+TPU-native redesign of AggregateFlowDense (patchgrid.cpp:213-397).  The
+reference's optional OpenMP path is documented as racy
+(CMakeLists.txt:18-19, patchgrid.cpp:220-222); here the aggregation is a
+deterministic XLA scatter-add — bit-reproducible by construction.
+
+Forward splat: each patch adds its (uniform) flow over its psz x psz
+footprint clipped to the image, per-pixel weight 1/max(minerrval, err)
+(single channel) or 1/sum_c max(minerrval, err_c) (RGB)
+(patchgrid.cpp:241-275).  Footprint indices are static (grid geometry), so
+only the weights are runtime values.
+
+Forward-backward merge: the complementary grid's patches splat their
+NEGATED flow at their *converged query position* with bilinear distribution
+over 4 cells (patchgrid.cpp:277-375).  Those indices are runtime values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import DISConfig
+from .grid import LevelGeometry
+from .inverse_search import SearchResult
+
+
+def _abs_weights(pweight: jnp.ndarray, cfg: DISConfig) -> jnp.ndarray:
+    """absw per footprint pixel: (N, psz*psz) (patchgrid.cpp:253-260)."""
+    n, psz = pweight.shape[0], pweight.shape[1]
+    pw = jnp.maximum(cfg.minerrval, pweight)  # (N, psz, psz, C)
+    return (1.0 / jnp.sum(pw, axis=3)).reshape(n, psz * psz)
+
+
+def aggregate_flow_dense(
+    result: SearchResult,
+    geo: LevelGeometry,
+    cfg: DISConfig,
+    bw_result: Optional[SearchResult] = None,
+) -> jnp.ndarray:
+    """Densify per-patch flow into an (h, w, nop) field.
+
+    `bw_result` (query positions in THIS grid's frame) enables the
+    forward-backward merge; pass the backward grid's SearchResult.
+    """
+    w, h = geo.w, geo.h
+    nop = cfg.nop
+    npx = w * h
+
+    absw = _abs_weights(result.pweight, cfg) * jnp.asarray(geo.agg_mask)  # (N, psz²)
+    idx = jnp.asarray(geo.agg_idx)  # (N, psz²)
+
+    we = jnp.zeros((npx,), jnp.float32).at[idx.ravel()].add(absw.ravel())
+    # flow contribution: (N, psz², nop)
+    contrib = absw[:, :, None] * result.p[:, None, :]
+    flow = (
+        jnp.zeros((npx, nop), jnp.float32)
+        .at[idx.ravel()]
+        .add(contrib.reshape(-1, nop))
+    )
+
+    if bw_result is not None:
+        we, flow = _merge_backward(we, flow, bw_result, geo, cfg)
+
+    # Normalize (patchgrid.cpp:377-394); untouched pixels stay 0.
+    safe = jnp.where(we > 0.0, we, 1.0)
+    flow = jnp.where((we > 0.0)[:, None], flow / safe[:, None], 0.0)
+    return flow.reshape(h, w, nop)
+
+
+def _merge_backward(we, flow, bw: SearchResult, geo: LevelGeometry, cfg: DISConfig):
+    """Splat negated backward flow with bilinear weights at the converged
+    backward query position (patchgrid.cpp:277-375)."""
+    w, h = geo.w, geo.h
+    psz = cfg.patch_size
+    lb = -(psz // 2)
+    npx = w * h
+
+    fx = jnp.floor(bw.pt[:, 0])
+    fy = jnp.floor(bw.pt[:, 1])
+    posx = fx.astype(jnp.int32) + 1  # == ceil(x + 1e-5)
+    posy = fy.astype(jnp.int32) + 1
+    rx = bw.pt[:, 0] - fx
+    ry = bw.pt[:, 1] - fy
+    wbil = jnp.stack(
+        [rx * ry, (1 - rx) * ry, rx * (1 - ry), (1 - rx) * (1 - ry)], axis=1
+    )  # (N, 4)
+
+    offs = jnp.arange(lb, lb + psz, dtype=jnp.int32)
+    oy = jnp.repeat(offs, psz)  # row-major (j, i) to match pweight layout
+    ox = jnp.tile(offs, psz)
+    yt = posy[:, None] + oy[None, :]  # (N, psz²)
+    xt = posx[:, None] + ox[None, :]
+    valid = ((xt >= 1) & (yt >= 1) & (xt < w - 1) & (yt < h - 1)).astype(jnp.float32)
+
+    absw = _abs_weights(bw.pweight, cfg) * valid  # (N, psz²)
+    idxcc = jnp.clip(yt * w + xt, 0, npx - 1)
+    # The 4 bilinear cells: cc, (x-1)c, c(y-1), (x-1)(y-1).
+    cells = (idxcc, idxcc - 1, idxcc - w, idxcc - w - 1)
+    for k, cell in enumerate(cells):
+        cw = wbil[:, k : k + 1] * absw  # (N, psz²)
+        cell = jnp.clip(cell, 0, npx - 1)
+        we = we.at[cell.ravel()].add(cw.ravel())
+        contrib = -cw[:, :, None] * bw.p[:, None, :]
+        flow = flow.at[cell.ravel()].add(contrib.reshape(-1, flow.shape[1]))
+    return we, flow

@@ -1,0 +1,281 @@
+"""Batched inverse-compositional Gauss-Newton patch search (DIS step 3).
+
+TPU-native redesign of the reference per-patch optimizer
+(PatClass, patch.cpp:57-402) and its OpenMP dispatch loop
+(PatGridClass::Optimize, patchgrid.cpp:134-141):
+
+  - Patches are a BATCH AXIS, not objects.  All N patches of a pyramid level
+    live in (N, ...) tensors; the per-patch while-loop becomes a fixed-trip
+    `lax.fori_loop(max_iter)` whose updates are masked by a per-patch
+    convergence flag.  This reproduces the reference's per-patch early-exit
+    state machine exactly (patch.cpp:158-284) while keeping control flow
+    static for XLA.
+  - The hot bilinear patch gather runs as one flat `jnp.take` over the padded
+    level image per iteration (see ops/interp.py).
+  - The 2x2 Hessian solve (patch.cpp:176-184, Eigen LLT) becomes the
+    closed-form inverse; for stereo it is a scalar divide.
+
+Deviation from the reference (documented): when a patch's *initial* position
+is already out of bounds, the reference sets pdiff = template but leaves
+pweight uninitialized heap memory (patch.cpp:135-141), which feeds garbage
+weights into densification.  We define pweight = |loss(template)| instead —
+deterministic and consistent with the loss.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DISConfig
+from ..ops.interp import (
+    extract_bilinear_windows,
+    extract_int_windows,
+    window_offsets,
+)
+
+
+class PatchTemplates(NamedTuple):
+    """Per-patch template data computed once per level (patch.cpp:57-88)."""
+
+    tmp: jnp.ndarray     # (N, psz, psz, C) template values (mean-normalized if patnorm)
+    dx: jnp.ndarray      # (N, psz, psz, C) template x-gradients
+    dy: jnp.ndarray      # (N, psz, psz, C) template y-gradients
+    hes: jnp.ndarray     # (N, 3) [H00, H01, H11] for flow; (N, 1) [H00] for stereo
+
+
+class SearchResult(NamedTuple):
+    p: jnp.ndarray        # (N, nop) final displacement parameters
+    pt: jnp.ndarray       # (N, 2) final query position (pt_ref + displacement)
+    pweight: jnp.ndarray  # (N, psz, psz, C) absolute residual image
+    converged: jnp.ndarray  # (N,) bool
+
+
+def _mean_normalize(patch: jnp.ndarray, enabled: bool) -> jnp.ndarray:
+    """Subtract the patch mean over all values (patch.cpp:330-331, 400-401)."""
+    if not enabled:
+        return patch
+    return patch - jnp.mean(patch, axis=(1, 2, 3), keepdims=True)
+
+
+def _loss(diff: jnp.ndarray, cfg: DISConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residual transform + weight image (LossComputeErrorImage, patch.cpp:223-262).
+
+    Returns (pdiff, pweight); pweight = |pdiff| in all cases.
+    """
+    if cfg.cost == 0:  # L2
+        pd = diff
+    elif cfg.cost == 1:  # L1: sign(d) * sqrt(|d|)  (v1.0.1-fixed formula)
+        pd = jnp.sign(diff) * jnp.sqrt(jnp.abs(diff))
+    elif cfg.cost == 2:  # pseudo-Huber, b = normoutlier (oflow.h:63)
+        bsq = cfg.normoutlier * cfg.normoutlier
+        pd = jnp.sign(diff) * jnp.sqrt(
+            2.0 * bsq * (jnp.sqrt(1.0 + diff * diff / bsq) - 1.0)
+        )
+    else:
+        raise ValueError(f"unhandled cost {cfg.cost}")
+    return pd, jnp.abs(pd)
+
+
+def _target_residual(
+    im_b_flat: jnp.ndarray,
+    pt: jnp.ndarray,
+    tmpl: PatchTemplates,
+    cfg: DISConfig,
+    pad: int,
+    wp: int,
+    offs_p1: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract the query patch at pt and compute (pdiff, pweight)."""
+    psz = cfg.patch_size
+    raw = extract_bilinear_windows(im_b_flat, pt, psz, pad, wp, offs_p1)
+    raw = _mean_normalize(raw, cfg.patch_norm)
+    if cfg.cost == 10:
+        # Real NCC-style cost: scale the query patch's energy to the
+        # template's before differencing.  The reference README advertises
+        # costfct 10/NCC but the code has no branch for it (patch.cpp:230-262
+        # falls through leaving pdiff = raw patch) — this is an intentional
+        # fidelity-plus deviation.
+        tn = jnp.sqrt(jnp.sum(tmpl.tmp * tmpl.tmp, axis=(1, 2, 3), keepdims=True))
+        rn = jnp.sqrt(jnp.sum(raw * raw, axis=(1, 2, 3), keepdims=True))
+        diff = raw * (tn / jnp.maximum(rn, 1e-10)) - tmpl.tmp
+        return diff, jnp.abs(diff)
+    diff = raw - tmpl.tmp
+    return _loss(diff, cfg)
+
+
+def build_templates(
+    im_a_flat: jnp.ndarray,
+    dx_a_flat: jnp.ndarray,
+    dy_a_flat: jnp.ndarray,
+    pt_ref: jnp.ndarray,
+    cfg: DISConfig,
+    pad: int,
+    wp: int,
+) -> PatchTemplates:
+    """Template extraction + Hessian, once per level (InitializePatch,
+    patch.cpp:57-88).  Gradients are NOT mean-normalized; the Hessian uses
+    raw template gradients only."""
+    psz = cfg.patch_size
+    offs = window_offsets(psz, wp)
+    tmp = extract_int_windows(im_a_flat, pt_ref, psz, pad, wp, offs)
+    dx = extract_int_windows(dx_a_flat, pt_ref, psz, pad, wp, offs)
+    dy = extract_int_windows(dy_a_flat, pt_ref, psz, pad, wp, offs)
+    tmp = _mean_normalize(tmp, cfg.patch_norm)
+    h00 = jnp.sum(dx * dx, axis=(1, 2, 3))
+    if cfg.nop == 2:
+        h01 = jnp.sum(dx * dy, axis=(1, 2, 3))
+        h11 = jnp.sum(dy * dy, axis=(1, 2, 3))
+        # Singular guard: if det == 0, bump the diagonal (patch.cpp:78-82).
+        det = h00 * h11 - h01 * h01
+        bump = jnp.where(det == 0.0, 1e-10, 0.0)
+        hes = jnp.stack([h00 + bump, h01, h11 + bump], axis=1)
+    else:
+        bump = jnp.where(h00 == 0.0, 1e-10, 0.0)
+        hes = (h00 + bump)[:, None]
+    return PatchTemplates(tmp=tmp, dx=dx, dy=dy, hes=hes)
+
+
+def _solve_step(tmpl: PatchTemplates, pdiff: jnp.ndarray, nop: int) -> jnp.ndarray:
+    """delta_p = H^-1 (J^T pdiff) (patch.cpp:176-184)."""
+    b0 = jnp.sum(tmpl.dx * pdiff, axis=(1, 2, 3))
+    if nop == 2:
+        b1 = jnp.sum(tmpl.dy * pdiff, axis=(1, 2, 3))
+        h00, h01, h11 = tmpl.hes[:, 0], tmpl.hes[:, 1], tmpl.hes[:, 2]
+        det = h00 * h11 - h01 * h01
+        du = (h11 * b0 - h01 * b1) / det
+        dv = (h00 * b1 - h01 * b0) / det
+        return jnp.stack([du, dv], axis=1)
+    return (b0 / tmpl.hes[:, 0])[:, None]
+
+
+def _param_to_pt(pt_ref: jnp.ndarray, p: jnp.ndarray, nop: int) -> jnp.ndarray:
+    """paramtopt (patch.cpp:214-221): flow moves (x, y); stereo moves x only."""
+    if nop == 2:
+        return pt_ref + p
+    return jnp.stack([pt_ref[:, 0] + p[:, 0], pt_ref[:, 1]], axis=1)
+
+
+def _out_of_bounds(pt: jnp.ndarray, w: int, h: int, psz: int) -> jnp.ndarray:
+    """Valid-region check with bounds tmp_lb = -psz/2, tmp_ub* = dim+psz/2-2
+    (oflow.cpp:147-149, patch.cpp:135-136, 199-202)."""
+    lb = -float(psz) / 2.0
+    ubw = float(w + psz // 2 - 2)
+    ubh = float(h + psz // 2 - 2)
+    return (pt[:, 0] < lb) | (pt[:, 1] < lb) | (pt[:, 0] > ubw) | (pt[:, 1] > ubh)
+
+
+def optimize_level(
+    im_b_flat: jnp.ndarray,
+    tmpl: PatchTemplates,
+    pt_ref: jnp.ndarray,   # (N, 2)
+    p_init: jnp.ndarray,   # (N, nop)
+    cfg: DISConfig,
+    w: int,
+    h: int,
+    pad: int,
+    wp: int,
+) -> SearchResult:
+    """Run all patches of one level to convergence (PatClass::OptimizeIter +
+    OptimizeStart + OptimizeComputeErrImg, patch.cpp:119-284), as a fixed
+    `max_iter`-trip loop with per-patch masking."""
+    psz = cfg.patch_size
+    nop = cfg.nop
+    novals = float(cfg.novals)
+    offs_p1 = window_offsets(psz + 1, wp)
+    n = pt_ref.shape[0]
+
+    # ---- OptimizeStart (patch.cpp:120-156) ----
+    p_in = p_init
+    p_iter = p_init
+    pt_iter = _param_to_pt(pt_ref, p_iter, nop)
+    pt_st = pt_iter
+    oob0 = _out_of_bounds(pt_iter, w, h, psz)
+
+    # Clamp for the gather only; lanes with oob0 are masked out below.
+    pdiff0, pweight0 = _target_residual(
+        im_b_flat, pt_iter, tmpl, cfg, pad, wp, offs_p1
+    )
+    # Invalid-start lanes: pdiff = template (patch.cpp:139); pweight defined
+    # as |loss(template)| (see module docstring).
+    tmpl_pd, tmpl_pw = (tmpl.tmp, jnp.abs(tmpl.tmp)) if cfg.cost == 10 else _loss(tmpl.tmp, cfg)
+    m0 = oob0[:, None, None, None]
+    pdiff = jnp.where(m0, tmpl_pd, pdiff0)
+    pweight = jnp.where(m0, tmpl_pw, pweight0)
+
+    mares_old = jnp.full((n,), 1e5, dtype=jnp.float32)
+    mares = jnp.sum(pweight0, axis=(1, 2, 3)) / novals
+    mares = jnp.where(oob0, 1e5, mares)
+    # Start-phase convergence check with cnt = 0 (patch.cpp:279-282).
+    not_conv0 = (0 < cfg.max_iter) & (mares > cfg.res_thresh)
+    if cfg.min_iter <= 0:
+        not_conv0 = not_conv0 & jnp.zeros_like(not_conv0)  # degenerate, matches C
+    converged = oob0 | ~not_conv0
+
+    dpsq = jnp.full((n,), 1e-10, dtype=jnp.float32)
+    dpsq_init = jnp.full((n,), 1e-10, dtype=jnp.float32)
+    cnt = jnp.zeros((n,), dtype=jnp.int32)
+
+    dp_thresh_sq = cfg.dp_thresh * cfg.dp_thresh  # squared once (oflow.cpp:88)
+    outlier_sq = cfg.outlier_thresh * cfg.outlier_thresh
+
+    state = (p_iter, pt_iter, pdiff, pweight, mares, mares_old, dpsq, dpsq_init, cnt, converged)
+
+    def body(_, state):
+        (p_iter, pt_iter, pdiff, pweight, mares, mares_old, dpsq, dpsq_init, cnt, converged) = state
+        active = ~converged
+        cnt_n = cnt + 1
+
+        delta_p = _solve_step(tmpl, pdiff, nop)
+        p_new = p_iter - delta_p
+        if cfg.mode == "stereo":
+            # Disparity sign clamp by camera (patch.cpp:188-193).
+            if cfg.camlr == 0:
+                p_new = jnp.minimum(p_new, 0.0)
+            else:
+                p_new = jnp.maximum(p_new, 0.0)
+        pt_new = _param_to_pt(pt_ref, p_new, nop)
+
+        # Outlier / bounds reset (patch.cpp:198-208).
+        moved = jnp.sum((pt_st - pt_new) ** 2, axis=1) > outlier_sq
+        reset = moved | _out_of_bounds(pt_new, w, h, psz)
+        p_new = jnp.where(reset[:, None], p_in, p_new)
+        pt_new = _param_to_pt(pt_ref, p_new, nop)
+
+        # OptimizeComputeErrImg (patch.cpp:264-284) — runs even after a reset.
+        pd_new, pw_new = _target_residual(im_b_flat, pt_new, tmpl, cfg, pad, wp, offs_p1)
+        dpsq_n = jnp.sum(delta_p * delta_p, axis=1)
+        dpsq_init_n = jnp.where(cnt_n == 1, dpsq_n, dpsq_init)
+        mares_old_n = mares
+        mares_n = jnp.sum(pw_new, axis=(1, 2, 3)) / novals
+
+        keep_going = (
+            (cnt_n < cfg.max_iter)
+            & (mares_n > cfg.res_thresh)
+            & ((cnt_n < cfg.min_iter) | (dpsq_n / dpsq_init_n >= dp_thresh_sq))
+            & ((cnt_n < cfg.min_iter) | (mares_n / mares_old_n <= cfg.dr_thresh))
+        )
+        conv_n = converged | reset | ~keep_going
+
+        am = active[:, None]
+        am4 = active[:, None, None, None]
+        return (
+            jnp.where(am, p_new, p_iter),
+            jnp.where(am, pt_new, pt_iter),
+            jnp.where(am4, pd_new, pdiff),
+            jnp.where(am4, pw_new, pweight),
+            jnp.where(active, mares_n, mares),
+            jnp.where(active, mares_old_n, mares_old),
+            jnp.where(active, dpsq_n, dpsq),
+            jnp.where(active, dpsq_init_n, dpsq_init),
+            jnp.where(active, cnt_n, cnt),
+            jnp.where(active, conv_n, converged),
+        )
+
+    state = jax.lax.fori_loop(0, cfg.max_iter, body, state)
+    p_iter, pt_iter, _, pweight, _, _, _, _, _, converged = state
+    return SearchResult(p=p_iter, pt=pt_iter, pweight=pweight, converged=converged)

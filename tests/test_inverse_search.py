@@ -1,0 +1,187 @@
+"""Batched JAX inverse search vs the scalar NumPy oracle (patch.cpp spec)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.ndimage import gaussian_filter
+
+from of_dis_tpu.config import DISConfig
+from of_dis_tpu.models.grid import level_geometry
+from of_dis_tpu.models.inverse_search import build_templates, optimize_level
+from of_dis_tpu.ops import pyramid as pyr
+
+from oracle import optimize_patch_oracle
+
+
+def make_level(seed=0, h=40, w=56, c=1, shift=(2.5, -1.25)):
+    rng = np.random.RandomState(seed)
+    big = gaussian_filter(rng.rand(h + 32, w + 32, c) * 255, (2.0, 2.0, 0)).astype(
+        np.float32
+    )
+    img1 = big[16 : 16 + h, 16 : 16 + w]
+    # fractional shift via bilinear resample of the big image
+    sy, sx = shift[1], shift[0]
+    ys = np.arange(h) + 16 + sy
+    xs = np.arange(w) + 16 + sx
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    img2 = (
+        big[y0][:, x0] * (1 - fy) * (1 - fx)
+        + big[y0][:, x0 + 1] * (1 - fy) * fx
+        + big[y0 + 1][:, x0] * fy * (1 - fx)
+        + big[y0 + 1][:, x0 + 1] * fy * fx
+    ).astype(np.float32)
+    return img1, img2
+
+
+def setup_level(img1, img2, cfg):
+    pad = cfg.patch_size
+    im_a = np.asarray(pyr.pad_replicate(img1, pad))
+    im_b = np.asarray(pyr.pad_replicate(img2, pad))
+    dx, dy = pyr.sobel(img1)
+    dx_a = np.asarray(pyr.pad_zero(dx, pad))
+    dy_a = np.asarray(pyr.pad_zero(dy, pad))
+    return im_a, dx_a, dy_a, im_b
+
+
+@pytest.mark.parametrize("cost", [0, 1, 2])
+@pytest.mark.parametrize("patnorm", [True, False])
+def test_flow_matches_oracle(cost, patnorm):
+    h, w, c = 40, 56, 1
+    cfg = DISConfig(
+        mode="flow", channels=c, patch_size=8, overlap=0.4,
+        max_iter=8, min_iter=8, cost=cost, patch_norm=patnorm,
+        sc_f=0, sc_l=0, use_tv_refine=False,
+    )
+    img1, img2 = make_level(cost, h, w, c)
+    im_a, dx_a, dy_a, im_b = setup_level(img1, img2, cfg)
+    pad = cfg.patch_size
+    wp = w + 2 * pad
+
+    geo = level_geometry(w, h, cfg)
+    rng = np.random.RandomState(42)
+    p_init = rng.randn(geo.n_patches, 2).astype(np.float32) * 1.5
+
+    tmpl = build_templates(
+        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
+        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref),
+        cfg, pad, wp,
+    )
+    res = optimize_level(
+        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad, wp,
+    )
+    p_jax = np.asarray(res.p)
+    pw_jax = np.asarray(res.pweight)
+
+    n_checked = 0
+    for i in range(geo.n_patches):
+        p_ref, pt_o, pw_o, _ = optimize_patch_oracle(
+            im_a, dx_a, dy_a, im_b, geo.pt_ref[i], p_init[i],
+            psz=cfg.patch_size, pad=pad, w=w, h=h, mode="flow",
+            cost=cost, patnorm=patnorm,
+            max_iter=cfg.max_iter, min_iter=cfg.min_iter,
+            dp_thresh=cfg.dp_thresh, dr_thresh=cfg.dr_thresh,
+            res_thresh=cfg.res_thresh,
+        )
+        np.testing.assert_allclose(p_jax[i], p_ref, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"patch {i} param mismatch")
+        np.testing.assert_allclose(
+            pw_jax[i], pw_o, rtol=5e-3, atol=5e-2,
+            err_msg=f"patch {i} pweight mismatch",
+        )
+        n_checked += 1
+    assert n_checked == geo.n_patches
+
+
+def test_stereo_matches_oracle():
+    h, w, c = 40, 56, 1
+    cfg = DISConfig(
+        mode="stereo", channels=c, patch_size=8, overlap=0.4,
+        max_iter=8, min_iter=8, sc_f=0, sc_l=0, use_tv_refine=False, camlr=0,
+    )
+    img1, img2 = make_level(9, h, w, c, shift=(1.75, 0.0))
+    im_a, dx_a, dy_a, im_b = setup_level(img1, img2, cfg)
+    pad = cfg.patch_size
+    wp = w + 2 * pad
+    geo = level_geometry(w, h, cfg)
+    p_init = np.zeros((geo.n_patches, 1), np.float32)
+
+    tmpl = build_templates(
+        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
+        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref), cfg, pad, wp,
+    )
+    res = optimize_level(
+        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad, wp,
+    )
+    p_jax = np.asarray(res.p)
+    for i in range(geo.n_patches):
+        p_ref, _, _, _ = optimize_patch_oracle(
+            im_a, dx_a, dy_a, im_b, geo.pt_ref[i], p_init[i],
+            psz=cfg.patch_size, pad=pad, w=w, h=h, mode="stereo", camlr=0,
+            max_iter=cfg.max_iter, min_iter=cfg.min_iter,
+            dp_thresh=cfg.dp_thresh, dr_thresh=cfg.dr_thresh,
+            res_thresh=cfg.res_thresh,
+        )
+        np.testing.assert_allclose(p_jax[i], p_ref, rtol=2e-3, atol=2e-3)
+        assert p_jax[i][0] <= 0.0  # left-camera clamp (patch.cpp:188-193)
+
+
+def test_rgb_matches_oracle():
+    h, w, c = 32, 48, 3
+    cfg = DISConfig(
+        mode="flow", channels=c, patch_size=8, overlap=0.4,
+        max_iter=6, min_iter=6, sc_f=0, sc_l=0, use_tv_refine=False,
+    )
+    img1, img2 = make_level(3, h, w, c)
+    im_a, dx_a, dy_a, im_b = setup_level(img1, img2, cfg)
+    pad = cfg.patch_size
+    wp = w + 2 * pad
+    geo = level_geometry(w, h, cfg)
+    p_init = np.zeros((geo.n_patches, 2), np.float32)
+    tmpl = build_templates(
+        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
+        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref), cfg, pad, wp,
+    )
+    res = optimize_level(
+        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad, wp,
+    )
+    p_jax = np.asarray(res.p)
+    for i in range(0, geo.n_patches, 3):
+        p_ref, _, _, _ = optimize_patch_oracle(
+            im_a, dx_a, dy_a, im_b, geo.pt_ref[i], p_init[i],
+            psz=cfg.patch_size, pad=pad, w=w, h=h, mode="flow",
+            max_iter=cfg.max_iter, min_iter=cfg.min_iter,
+            dp_thresh=cfg.dp_thresh, dr_thresh=cfg.dr_thresh,
+            res_thresh=cfg.res_thresh,
+        )
+        np.testing.assert_allclose(p_jax[i], p_ref, rtol=3e-3, atol=3e-3)
+
+
+def test_oob_initial_position_converges_immediately():
+    h, w, c = 32, 48, 1
+    cfg = DISConfig(
+        mode="flow", channels=c, patch_size=8, max_iter=6, min_iter=6,
+        sc_f=0, sc_l=0, use_tv_refine=False,
+    )
+    img1, img2 = make_level(5, h, w, c)
+    im_a, dx_a, dy_a, im_b = setup_level(img1, img2, cfg)
+    pad = cfg.patch_size
+    wp = w + 2 * pad
+    geo = level_geometry(w, h, cfg)
+    p_init = np.zeros((geo.n_patches, 2), np.float32)
+    p_init[0] = [1000.0, 1000.0]  # way out of bounds
+    tmpl = build_templates(
+        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
+        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref), cfg, pad, wp,
+    )
+    res = optimize_level(
+        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad, wp,
+    )
+    assert bool(np.asarray(res.converged)[0])
+    np.testing.assert_array_equal(np.asarray(res.p)[0], p_init[0])
