@@ -82,8 +82,15 @@ def main(argv=None) -> int:
 
     timer = StageTimer(args.verbosity)
     with timer.stage("Image loading"):
-        img1 = io.load_image(args.img1, channels)
-        img2 = io.load_image(args.img2, channels)
+        try:
+            img1 = io.load_image(args.img1, channels)
+            img2 = io.load_image(args.img2, channels)
+        except FileNotFoundError as e:
+            raise SystemExit(f"of-dis: cannot open input image: {e.filename}")
+    if img1.shape != img2.shape:
+        raise SystemExit(
+            f"of-dis: input images differ in size: {img1.shape[:2]} vs {img2.shape[:2]}"
+        )
 
     if args.params:
         cfg = _cfg_from_params(args.params, img1.shape[1], mode, channels)

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DISConfig
 from .grid import LevelGeometry
@@ -32,6 +34,66 @@ def _abs_weights(pweight: jnp.ndarray, cfg: DISConfig) -> jnp.ndarray:
     n, psz = pweight.shape[0], pweight.shape[1]
     pw = jnp.maximum(cfg.minerrval, pweight)  # (N, psz, psz, C)
     return (1.0 / jnp.sum(pw, axis=3)).reshape(n, psz * psz)
+
+
+def _col2im_accumulate(
+    vals: jnp.ndarray,  # (N, psz*psz, K) per-patch per-footprint-pixel values
+    geo: LevelGeometry,
+    cfg: DISConfig,
+) -> jnp.ndarray:
+    """Overlap-add of patch footprints onto the (h, w, K) image — the
+    densification splat (patchgrid.cpp:241-273) as a strided transposed
+    convolution (col2im) instead of a scatter.
+
+    The patch grid is regular (centers at p*steps + offset), so the splat is
+    exactly col2im: a conv_general_dilated with lhs_dilation = steps and a
+    flipped-delta kernel.  Dense, deterministic, MXU-friendly — no
+    scatter-add latency.  Out-of-image footprint pixels are dropped by the
+    final slice, matching the reference's bounds check.
+    """
+    psz = cfg.patch_size
+    steps = cfg.steps
+    n, pp, k = vals.shape
+    noph, nopw = geo.noph, geo.nopw
+    # Patch index order is i = x*noph + y (patchgrid.cpp:61-75).
+    grid = vals.reshape(nopw, noph, pp, k).transpose(3, 1, 0, 2)  # (K, noph, nopw, psz²)
+
+    # Flipped-delta kernel: channel c = j*psz + i contributes at output
+    # offset (j, i) relative to the footprint origin.
+    eye = np.zeros((psz, psz, pp, 1), np.float32)
+    for j in range(psz):
+        for i in range(psz):
+            eye[psz - 1 - j, psz - 1 - i, j * psz + i, 0] = 1.0
+    kern = jnp.asarray(eye)
+
+    full = jax.lax.conv_general_dilated(
+        grid,
+        kern,
+        window_strides=(1, 1),
+        padding=((psz - 1, psz - 1), (psz - 1, psz - 1)),
+        lhs_dilation=(steps, steps),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[..., 0]  # (K, (noph-1)*steps+psz, (nopw-1)*steps+psz)
+
+    # full row r corresponds to image row r + offh + lb (same for cols).
+    lb = -(psz // 2)
+    offh = int(geo.pt_ref[:, 1].min()) if geo.n_patches else 0
+    offw = int(geo.pt_ref[:, 0].min()) if geo.n_patches else 0
+    oy = offh + lb
+    ox = offw + lb
+    h, w = geo.h, geo.w
+    fh, fw = full.shape[1], full.shape[2]
+    # shift into image frame with zero padding, then crop to (h, w)
+    pad_top = max(oy, 0)
+    pad_left = max(ox, 0)
+    crop_top = max(-oy, 0)
+    crop_left = max(-ox, 0)
+    out = jnp.pad(
+        full[:, crop_top:, crop_left:],
+        ((0, 0), (pad_top, max(h - (fh - crop_top) - pad_top, 0)),
+         (pad_left, max(w - (fw - crop_left) - pad_left, 0))),
+    )[:, :h, :w]
+    return out.transpose(1, 2, 0)  # (h, w, K)
 
 
 def aggregate_flow_dense(
@@ -49,17 +111,13 @@ def aggregate_flow_dense(
     nop = cfg.nop
     npx = w * h
 
-    absw = _abs_weights(result.pweight, cfg) * jnp.asarray(geo.agg_mask)  # (N, psz²)
-    idx = jnp.asarray(geo.agg_idx)  # (N, psz²)
-
-    we = jnp.zeros((npx,), jnp.float32).at[idx.ravel()].add(absw.ravel())
-    # flow contribution: (N, psz², nop)
-    contrib = absw[:, :, None] * result.p[:, None, :]
-    flow = (
-        jnp.zeros((npx, nop), jnp.float32)
-        .at[idx.ravel()]
-        .add(contrib.reshape(-1, nop))
-    )
+    absw = _abs_weights(result.pweight, cfg)  # (N, psz²)
+    # stack [w, w*u, w*v] and overlap-add in one col2im pass
+    contrib = absw[:, :, None] * result.p[:, None, :]  # (N, psz², nop)
+    vals = jnp.concatenate([absw[:, :, None], contrib], axis=2)
+    acc = _col2im_accumulate(vals, geo, cfg)  # (h, w, 1+nop)
+    we = acc[..., 0].reshape(npx)
+    flow = acc[..., 1:].reshape(npx, nop)
 
     if bw_result is not None:
         we, flow = _merge_backward(we, flow, bw_result, geo, cfg)

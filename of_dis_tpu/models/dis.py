@@ -47,17 +47,10 @@ def _level_flow(
 ):
     """One pyramid level: returns (flow_fw, flow_bw or None)."""
     pad = cfg.patch_size
-    wp = w + 2 * pad
     geo = level_geometry(w, h, cfg)
     pt_ref = jnp.asarray(geo.pt_ref)
-    c = cfg.channels
 
-    a_flat = im_a.reshape(-1, c)
-    b_flat = im_b.reshape(-1, c)
-    dxa_flat = dx_a.reshape(-1, c)
-    dya_flat = dy_a.reshape(-1, c)
-
-    tmpl_fw = build_templates(a_flat, dxa_flat, dya_flat, pt_ref, cfg, pad, wp)
+    tmpl_fw = build_templates(im_a, dx_a, dy_a, pt_ref, cfg, pad)
 
     if flow_prev is None:
         p_init = jnp.zeros((geo.n_patches, cfg.nop), jnp.float32)
@@ -65,19 +58,17 @@ def _level_flow(
         # InitializeFromCoarserOF (patchgrid.cpp:195-211): 2x NN upsample.
         p_init = 2.0 * flow_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
 
-    res_fw = optimize_level(b_flat, tmpl_fw, pt_ref, p_init, cfg, w, h, pad, wp)
+    res_fw = optimize_level(im_b, tmpl_fw, pt_ref, p_init, cfg, w, h, pad)
 
     res_bw = None
     flow_bw = None
     if cfg.use_fb_merge:
-        dxb_flat = dx_b.reshape(-1, c)
-        dyb_flat = dy_b.reshape(-1, c)
-        tmpl_bw = build_templates(b_flat, dxb_flat, dyb_flat, pt_ref, cfg, pad, wp)
+        tmpl_bw = build_templates(im_b, dx_b, dy_b, pt_ref, cfg, pad)
         if flow_bw_prev is None:
             p_init_bw = jnp.zeros((geo.n_patches, cfg.nop), jnp.float32)
         else:
             p_init_bw = 2.0 * flow_bw_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
-        res_bw = optimize_level(a_flat, tmpl_bw, pt_ref, p_init_bw, cfg, w, h, pad, wp)
+        res_bw = optimize_level(im_a, tmpl_bw, pt_ref, p_init_bw, cfg, w, h, pad)
 
     flow_fw = aggregate_flow_dense(res_fw, geo, cfg, bw_result=res_bw)
     if cfg.use_fb_merge and sl > cfg.sc_l:

@@ -31,12 +31,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..config import DISConfig
 from ..ops.interp import (
+    extract_bilinear_matmul,
     extract_bilinear_windows,
+    extract_int_matmul,
     extract_int_windows,
     window_offsets,
 )
+
+# Below this many padded pixels per level, patch extraction runs as MXU
+# matmuls (ops/interp.py: extract_*_matmul) instead of an element gather —
+# the gather is latency-bound on TPU (~0.3 ms regardless of size) while the
+# one-hot matmul costs FLOPs proportional to N*psz*Hp*Wp.  The crossover on
+# v5e sits around 40k pixels (levels up to ~256 px wide at Sintel aspect).
+MATMUL_EXTRACT_MAX_PIXELS = int(os.environ.get("OF_DIS_MATMUL_EXTRACT_MAX_PIXELS", 40000))
 
 
 class PatchTemplates(NamedTuple):
@@ -81,18 +92,27 @@ def _loss(diff: jnp.ndarray, cfg: DISConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return pd, jnp.abs(pd)
 
 
+def _use_matmul_extract(img: jnp.ndarray) -> bool:
+    return img.shape[0] * img.shape[1] <= MATMUL_EXTRACT_MAX_PIXELS
+
+
 def _target_residual(
-    im_b_flat: jnp.ndarray,
+    im_b: jnp.ndarray,     # (Hp, Wp, C) padded target image
     pt: jnp.ndarray,
     tmpl: PatchTemplates,
     cfg: DISConfig,
     pad: int,
-    wp: int,
     offs_p1: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extract the query patch at pt and compute (pdiff, pweight)."""
     psz = cfg.patch_size
-    raw = extract_bilinear_windows(im_b_flat, pt, psz, pad, wp, offs_p1)
+    if _use_matmul_extract(im_b):
+        raw = extract_bilinear_matmul(im_b, pt, psz, pad)
+    else:
+        wp = im_b.shape[1]
+        raw = extract_bilinear_windows(
+            im_b.reshape(-1, im_b.shape[2]), pt, psz, pad, wp, offs_p1
+        )
     raw = _mean_normalize(raw, cfg.patch_norm)
     if cfg.cost == 10:
         # Real NCC-style cost: scale the query patch's energy to the
@@ -109,22 +129,28 @@ def _target_residual(
 
 
 def build_templates(
-    im_a_flat: jnp.ndarray,
-    dx_a_flat: jnp.ndarray,
-    dy_a_flat: jnp.ndarray,
+    im_a: jnp.ndarray,     # (Hp, Wp, C) padded reference image
+    dx_a: jnp.ndarray,
+    dy_a: jnp.ndarray,
     pt_ref: jnp.ndarray,
     cfg: DISConfig,
     pad: int,
-    wp: int,
 ) -> PatchTemplates:
     """Template extraction + Hessian, once per level (InitializePatch,
     patch.cpp:57-88).  Gradients are NOT mean-normalized; the Hessian uses
     raw template gradients only."""
     psz = cfg.patch_size
-    offs = window_offsets(psz, wp)
-    tmp = extract_int_windows(im_a_flat, pt_ref, psz, pad, wp, offs)
-    dx = extract_int_windows(dx_a_flat, pt_ref, psz, pad, wp, offs)
-    dy = extract_int_windows(dy_a_flat, pt_ref, psz, pad, wp, offs)
+    if _use_matmul_extract(im_a):
+        tmp = extract_int_matmul(im_a, pt_ref, psz, pad)
+        dx = extract_int_matmul(dx_a, pt_ref, psz, pad)
+        dy = extract_int_matmul(dy_a, pt_ref, psz, pad)
+    else:
+        c = im_a.shape[2]
+        wp = im_a.shape[1]
+        offs = window_offsets(psz, wp)
+        tmp = extract_int_windows(im_a.reshape(-1, c), pt_ref, psz, pad, wp, offs)
+        dx = extract_int_windows(dx_a.reshape(-1, c), pt_ref, psz, pad, wp, offs)
+        dy = extract_int_windows(dy_a.reshape(-1, c), pt_ref, psz, pad, wp, offs)
     tmp = _mean_normalize(tmp, cfg.patch_norm)
     h00 = jnp.sum(dx * dx, axis=(1, 2, 3))
     if cfg.nop == 2:
@@ -170,7 +196,7 @@ def _out_of_bounds(pt: jnp.ndarray, w: int, h: int, psz: int) -> jnp.ndarray:
 
 
 def optimize_level(
-    im_b_flat: jnp.ndarray,
+    im_b: jnp.ndarray,     # (Hp, Wp, C) padded target image
     tmpl: PatchTemplates,
     pt_ref: jnp.ndarray,   # (N, 2)
     p_init: jnp.ndarray,   # (N, nop)
@@ -178,7 +204,6 @@ def optimize_level(
     w: int,
     h: int,
     pad: int,
-    wp: int,
 ) -> SearchResult:
     """Run all patches of one level to convergence (PatClass::OptimizeIter +
     OptimizeStart + OptimizeComputeErrImg, patch.cpp:119-284), as a fixed
@@ -186,7 +211,7 @@ def optimize_level(
     psz = cfg.patch_size
     nop = cfg.nop
     novals = float(cfg.novals)
-    offs_p1 = window_offsets(psz + 1, wp)
+    offs_p1 = window_offsets(psz + 1, im_b.shape[1])
     n = pt_ref.shape[0]
 
     # ---- OptimizeStart (patch.cpp:120-156) ----
@@ -198,7 +223,7 @@ def optimize_level(
 
     # Clamp for the gather only; lanes with oob0 are masked out below.
     pdiff0, pweight0 = _target_residual(
-        im_b_flat, pt_iter, tmpl, cfg, pad, wp, offs_p1
+        im_b, pt_iter, tmpl, cfg, pad, offs_p1
     )
     # Invalid-start lanes: pdiff = template (patch.cpp:139); pweight defined
     # as |loss(template)| (see module docstring).
@@ -247,7 +272,7 @@ def optimize_level(
         pt_new = _param_to_pt(pt_ref, p_new, nop)
 
         # OptimizeComputeErrImg (patch.cpp:264-284) — runs even after a reset.
-        pd_new, pw_new = _target_residual(im_b_flat, pt_new, tmpl, cfg, pad, wp, offs_p1)
+        pd_new, pw_new = _target_residual(im_b, pt_new, tmpl, cfg, pad, offs_p1)
         dpsq_n = jnp.sum(delta_p * delta_p, axis=1)
         dpsq_init_n = jnp.where(cnt_n == 1, dpsq_n, dpsq_init)
         mares_old_n = mares

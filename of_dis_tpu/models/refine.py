@@ -116,12 +116,15 @@ def image_warp(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):
     y1 = jnp.clip(y.astype(jnp.int32), 0, h - 1)
     y2 = jnp.clip(y.astype(jnp.int32) + 1, 0, h - 1)
     flat = src.reshape(-1, c)
-    g = lambda yi, xi: jnp.take(flat, yi * w + xi, axis=0)
+    # One fused gather for all 4 taps (each jnp.take pays a fixed
+    # latency-bound cost on TPU; 4 separate calls quadruple it).
+    idx = jnp.stack([y1 * w + x1, y1 * w + x2, y2 * w + x1, y2 * w + x2])
+    taps = jnp.take(flat, idx, axis=0)  # (4, h, w, C)
     dst = (
-        g(y1, x1) * (1 - dx) * (1 - dy)
-        + g(y1, x2) * dx * (1 - dy)
-        + g(y2, x1) * (1 - dx) * dy
-        + g(y2, x2) * dx * dy
+        taps[0] * (1 - dx) * (1 - dy)
+        + taps[1] * dx * (1 - dy)
+        + taps[2] * (1 - dx) * dy
+        + taps[3] * dx * dy
     )
     return dst, mask
 
@@ -300,6 +303,16 @@ def sor_scalar_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
 # Level driver
 # ---------------------------------------------------------------------------
 
+import os
+
+# Use the fused Pallas SOR kernel when the level fits in VMEM (set to 0 to
+# force the XLA red-black path, e.g. for A/B testing).
+PALLAS_SOR_MAX_PIXELS = int(os.environ.get("OF_DIS_PALLAS_SOR_MAX_PIXELS", 200_000))
+
+
+def _use_pallas_sor(arr) -> bool:
+    return 0 < arr.shape[0] * arr.shape[1] <= PALLAS_SOR_MAX_PIXELS
+
 def refine_level(
     flow: jnp.ndarray,   # (h, w, nop)
     im1: jnp.ndarray,    # (h, w, C) unpadded level image
@@ -322,6 +335,15 @@ def refine_level(
     im2w, mask = image_warp(im2, wx, wy)
     derivs = get_derivatives(im1, im2w)
 
+    if nop == 2 and _use_pallas_sor(wx):
+        # Whole inner loop fused in one Pallas kernel (ops/pallas_kernels.py).
+        from ..ops.pallas_kernels import refine_inner_pallas
+
+        uu, vv = refine_inner_pallas(
+            wx, wy, mask, derivs, n_inner, cfg.tv_solverit, cfg.tv_sor, qa, hd3, hg3
+        )
+        return jnp.stack([uu, vv], axis=-1)
+
     du = jnp.zeros_like(wx)
     dv = jnp.zeros_like(wx)
     uu = wx
@@ -333,13 +355,25 @@ def refine_level(
         b1 = sub_laplacian(b1, wx, wh, wv_)
         if nop == 2:
             b2 = sub_laplacian(b2, wy, wh, wv_)
-            du, dv = sor_coupled_rb(
-                du, dv, a11, a12, a22, b1, b2, wh, wv_, cfg.tv_solverit, cfg.tv_sor
-            )
+            if _use_pallas_sor(wx):
+                from ..ops.pallas_kernels import sor_coupled_rb_pallas
+
+                du, dv = sor_coupled_rb_pallas(
+                    du, dv, a11, a12, a22, b1, b2, wh, wv_, cfg.tv_solverit, cfg.tv_sor
+                )
+            else:
+                du, dv = sor_coupled_rb(
+                    du, dv, a11, a12, a22, b1, b2, wh, wv_, cfg.tv_solverit, cfg.tv_sor
+                )
             uu = wx + du
             vv = wy + dv
         else:
-            du = sor_scalar_rb(du, a11, b1, wh, wv_, cfg.tv_solverit, cfg.tv_sor)
+            if _use_pallas_sor(wx):
+                from ..ops.pallas_kernels import sor_scalar_rb_pallas
+
+                du = sor_scalar_rb_pallas(du, a11, b1, wh, wv_, cfg.tv_solverit, cfg.tv_sor)
+            else:
+                du = sor_scalar_rb(du, a11, b1, wh, wv_, cfg.tv_solverit, cfg.tv_sor)
             # Disparity sign clamp (refine_variational.cpp:299-314).
             if camlr == 0:
                 uu = jnp.minimum(wx + du, 0.0)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,93 @@ def extract_int_windows(
     cy = jnp.floor(pt[:, 1] + 0.5).astype(jnp.int32) + pad + lb
     cx = jnp.floor(pt[:, 0] + 0.5).astype(jnp.int32) + pad + lb
     return gather_windows(img_flat, cy, cx, offsets, wp)
+
+
+def extract_bilinear_matmul(
+    img: jnp.ndarray,      # (Hp, Wp, C) padded level image
+    pt: jnp.ndarray,       # (N, 2) float query positions (unpadded coords)
+    psz: int,
+    pad: int,
+) -> jnp.ndarray:
+    """Bilinear patch extraction as two MXU matmuls (gather-free).
+
+    Bilinear interpolation with a constant per-patch weight vector is
+    separable: patch[p] = RY[p] @ img @ CX[p] where RY (psz x Hp) holds
+    (1-ry, ry) at rows fy+lb+j / +1 and CX (Wp x psz) holds (1-rx, rx) at
+    cols fx+lb+i / +1.  Equals the reference's 4-tap formula
+    (patch.cpp:334-402) up to float reassociation.  On TPU this replaces a
+    latency-bound element gather with dense matmuls — the MXU-native
+    formulation for small pyramid levels (use `extract_bilinear_windows`
+    for large ones, where one-hot FLOPs would dominate).
+    """
+    hp, wp, c = img.shape
+    n = pt.shape[0]
+    lb = -(psz // 2)
+    fx = jnp.floor(pt[:, 0])
+    fy = jnp.floor(pt[:, 1])
+    rx = (pt[:, 0] - fx).astype(img.dtype)
+    ry = (pt[:, 1] - fy).astype(img.dtype)
+    base_y = fy.astype(jnp.int32) + lb + pad  # row of the (1-ry) tap for j=0
+    base_x = fx.astype(jnp.int32) + lb + pad
+
+    y_ids = jnp.arange(hp, dtype=jnp.int32)[None, None, :]           # (1,1,Hp)
+    rows = base_y[:, None, None] + jnp.arange(psz, dtype=jnp.int32)[None, :, None]
+    ry3 = ry[:, None, None]
+    RY = jnp.where(y_ids == rows, 1.0 - ry3, 0.0) + jnp.where(
+        y_ids == rows + 1, ry3, 0.0
+    )  # (N, psz, Hp)
+
+    x_ids = jnp.arange(wp, dtype=jnp.int32)[None, :, None]           # (1,Wp,1)
+    cols = base_x[:, None, None] + jnp.arange(psz, dtype=jnp.int32)[None, None, :]
+    rx3 = rx[:, None, None]
+    CX = jnp.where(x_ids == cols, 1.0 - rx3, 0.0) + jnp.where(
+        x_ids == cols + 1, rx3, 0.0
+    )  # (N, Wp, psz)
+
+    # (N*psz, Hp) @ (Hp, Wp*C) -> (N, psz, Wp, C)
+    m1 = jnp.dot(
+        RY.reshape(n * psz, hp),
+        img.reshape(hp, wp * c),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, psz, wp, c)
+    # contract x per patch: (p, j, x, c) x (p, x, i) -> (p, j, c, i)
+    out = jax.lax.dot_general(
+        m1,
+        CX,
+        dimension_numbers=((( 2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (N, psz, C, psz)
+    return jnp.transpose(out, (0, 1, 3, 2))  # (N, psz, psz, C)
+
+
+def extract_int_matmul(
+    img: jnp.ndarray,      # (Hp, Wp, C)
+    pt: jnp.ndarray,       # (N, 2) integer-valued positions
+    psz: int,
+    pad: int,
+) -> jnp.ndarray:
+    """Integer (template) window extraction as one-hot matmuls — the
+    gather-free counterpart of extract_int_windows."""
+    hp, wp, c = img.shape
+    n = pt.shape[0]
+    lb = -(psz // 2)
+    cy = jnp.floor(pt[:, 1] + 0.5).astype(jnp.int32) + pad + lb
+    cx = jnp.floor(pt[:, 0] + 0.5).astype(jnp.int32) + pad + lb
+    y_ids = jnp.arange(hp, dtype=jnp.int32)[None, None, :]
+    rows = cy[:, None, None] + jnp.arange(psz, dtype=jnp.int32)[None, :, None]
+    RY = jnp.where(y_ids == rows, 1.0, 0.0)
+    x_ids = jnp.arange(wp, dtype=jnp.int32)[None, :, None]
+    cols = cx[:, None, None] + jnp.arange(psz, dtype=jnp.int32)[None, None, :]
+    CX = jnp.where(x_ids == cols, 1.0, 0.0)
+    m1 = jnp.dot(
+        RY.reshape(n * psz, hp), img.reshape(hp, wp * c),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, psz, wp, c)
+    out = jax.lax.dot_general(
+        m1, CX, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.transpose(out, (0, 1, 3, 2))
 
 
 def extract_bilinear_windows(

@@ -31,13 +31,18 @@ import numpy as np
 
 
 def downsample_half(img: jnp.ndarray) -> jnp.ndarray:
-    """Exact cv::resize(0.5, INTER_LINEAR): 2x2 box average. Needs even H, W."""
+    """Exact cv::resize(0.5, INTER_LINEAR): 2x2 box average. Needs even H, W.
+
+    Implemented as a 2x2/stride-2 reduce_window (average pool) — the
+    factor-2 reshape formulation produces pathological TPU layouts.
+    """
     h, w, c = img.shape
     if h % 2 or w % 2:
         raise ValueError(f"downsample_half needs even dims, got {h}x{w}")
-    x = img.reshape(h // 2, 2, w // 2, 2, c)
-    # Sum in the order (x-pair average, then y-pair average) like bilinear taps.
-    return 0.25 * (x[:, 0, :, 0] + x[:, 0, :, 1] + x[:, 1, :, 0] + x[:, 1, :, 1])
+    s = jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID"
+    )
+    return 0.25 * s
 
 
 def _reflect101_pad(img: jnp.ndarray, r: int) -> jnp.ndarray:

@@ -65,13 +65,13 @@ def test_flow_matches_oracle(cost, patnorm):
     p_init = rng.randn(geo.n_patches, 2).astype(np.float32) * 1.5
 
     tmpl = build_templates(
-        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
-        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref),
-        cfg, pad, wp,
+        jnp.asarray(im_a), jnp.asarray(dx_a),
+        jnp.asarray(dy_a), jnp.asarray(geo.pt_ref),
+        cfg, pad,
     )
     res = optimize_level(
-        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
-        jnp.asarray(p_init), cfg, w, h, pad, wp,
+        jnp.asarray(im_b), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad,
     )
     p_jax = np.asarray(res.p)
     pw_jax = np.asarray(res.pweight)
@@ -110,12 +110,12 @@ def test_stereo_matches_oracle():
     p_init = np.zeros((geo.n_patches, 1), np.float32)
 
     tmpl = build_templates(
-        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
-        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref), cfg, pad, wp,
+        jnp.asarray(im_a), jnp.asarray(dx_a),
+        jnp.asarray(dy_a), jnp.asarray(geo.pt_ref), cfg, pad,
     )
     res = optimize_level(
-        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
-        jnp.asarray(p_init), cfg, w, h, pad, wp,
+        jnp.asarray(im_b), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad,
     )
     p_jax = np.asarray(res.p)
     for i in range(geo.n_patches):
@@ -143,12 +143,12 @@ def test_rgb_matches_oracle():
     geo = level_geometry(w, h, cfg)
     p_init = np.zeros((geo.n_patches, 2), np.float32)
     tmpl = build_templates(
-        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
-        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref), cfg, pad, wp,
+        jnp.asarray(im_a), jnp.asarray(dx_a),
+        jnp.asarray(dy_a), jnp.asarray(geo.pt_ref), cfg, pad,
     )
     res = optimize_level(
-        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
-        jnp.asarray(p_init), cfg, w, h, pad, wp,
+        jnp.asarray(im_b), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad,
     )
     p_jax = np.asarray(res.p)
     for i in range(0, geo.n_patches, 3):
@@ -176,12 +176,48 @@ def test_oob_initial_position_converges_immediately():
     p_init = np.zeros((geo.n_patches, 2), np.float32)
     p_init[0] = [1000.0, 1000.0]  # way out of bounds
     tmpl = build_templates(
-        jnp.asarray(im_a.reshape(-1, c)), jnp.asarray(dx_a.reshape(-1, c)),
-        jnp.asarray(dy_a.reshape(-1, c)), jnp.asarray(geo.pt_ref), cfg, pad, wp,
+        jnp.asarray(im_a), jnp.asarray(dx_a),
+        jnp.asarray(dy_a), jnp.asarray(geo.pt_ref), cfg, pad,
     )
     res = optimize_level(
-        jnp.asarray(im_b.reshape(-1, c)), tmpl, jnp.asarray(geo.pt_ref),
-        jnp.asarray(p_init), cfg, w, h, pad, wp,
+        jnp.asarray(im_b), tmpl, jnp.asarray(geo.pt_ref),
+        jnp.asarray(p_init), cfg, w, h, pad,
     )
     assert bool(np.asarray(res.converged)[0])
     np.testing.assert_array_equal(np.asarray(res.p)[0], p_init[0])
+
+
+def test_matmul_and_gather_extraction_agree(monkeypatch):
+    """The MXU matmul extraction must match the element-gather path (same
+    numerics up to float reassociation)."""
+    import of_dis_tpu.models.inverse_search as isearch
+
+    h, w, c = 40, 56, 1
+    cfg = DISConfig(
+        mode="flow", channels=c, patch_size=8, overlap=0.4,
+        max_iter=6, min_iter=6, sc_f=0, sc_l=0, use_tv_refine=False,
+    )
+    img1, img2 = make_level(11, h, w, c)
+    im_a, dx_a, dy_a, im_b = setup_level(img1, img2, cfg)
+    pad = cfg.patch_size
+    geo = level_geometry(w, h, cfg)
+    p_init = np.random.RandomState(1).randn(geo.n_patches, 2).astype(np.float32)
+
+    def run():
+        tmpl = build_templates(
+            jnp.asarray(im_a), jnp.asarray(dx_a), jnp.asarray(dy_a),
+            jnp.asarray(geo.pt_ref), cfg, pad,
+        )
+        return optimize_level(
+            jnp.asarray(im_b), tmpl, jnp.asarray(geo.pt_ref),
+            jnp.asarray(p_init), cfg, w, h, pad,
+        )
+
+    monkeypatch.setattr(isearch, "MATMUL_EXTRACT_MAX_PIXELS", 10**9)
+    res_mm = run()
+    monkeypatch.setattr(isearch, "MATMUL_EXTRACT_MAX_PIXELS", 0)
+    res_g = run()
+    np.testing.assert_allclose(np.asarray(res_mm.p), np.asarray(res_g.p),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res_mm.pweight), np.asarray(res_g.pweight),
+                               rtol=5e-3, atol=5e-2)

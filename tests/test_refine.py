@@ -191,3 +191,59 @@ def test_refine_level_de_sign_clamp():
     cfg = DISConfig(mode="stereo", channels=1, sc_f=0, sc_l=0)
     out = np.asarray(rf.refine_level(jnp.asarray(flow), jnp.asarray(img), jnp.asarray(img), 1, cfg, camlr=0))
     assert np.all(out <= 0.0)  # left camera clamp (refine_variational.cpp:299-306)
+
+
+def test_pallas_sor_matches_xla():
+    """Fused Pallas SOR kernel == XLA red-black implementation."""
+    import jax.numpy as jnp
+    from of_dis_tpu.ops.pallas_kernels import (
+        sor_coupled_rb_pallas,
+        sor_scalar_rb_pallas,
+    )
+
+    h, w = 16, 24
+    a11, a12, a22, b1, b2, wh, wv = _system(h, w, seed=8)
+    du0 = np.zeros((h, w), np.float32)
+    dv0 = np.zeros((h, w), np.float32)
+    du_x, dv_x = rf.sor_coupled_rb(
+        jnp.asarray(du0), jnp.asarray(dv0), jnp.asarray(a11), jnp.asarray(a12),
+        jnp.asarray(a22), jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(wh),
+        jnp.asarray(wv), 5, 1.6,
+    )
+    du_p, dv_p = sor_coupled_rb_pallas(
+        jnp.asarray(du0), jnp.asarray(dv0), jnp.asarray(a11), jnp.asarray(a12),
+        jnp.asarray(a22), jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(wh),
+        jnp.asarray(wv), 5, 1.6,
+    )
+    np.testing.assert_allclose(np.asarray(du_p), np.asarray(du_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_x), rtol=1e-5, atol=1e-5)
+
+    du_xs = rf.sor_scalar_rb(jnp.asarray(du0), jnp.asarray(a11), jnp.asarray(b1),
+                             jnp.asarray(wh), jnp.asarray(wv), 5, 1.6)
+    du_ps = sor_scalar_rb_pallas(jnp.asarray(du0), jnp.asarray(a11), jnp.asarray(b1),
+                                 jnp.asarray(wh), jnp.asarray(wv), 5, 1.6)
+    np.testing.assert_allclose(np.asarray(du_ps), np.asarray(du_xs), rtol=1e-5, atol=1e-5)
+
+
+def test_refine_inner_pallas_matches_xla(smooth_pair):
+    """Fused inner-loop Pallas kernel == step-by-step XLA refinement."""
+    import of_dis_tpu.models.refine as refine_mod
+
+    img1, img2, _ = smooth_pair
+    img1 = img1[:48, :64][..., None]
+    img2 = img2[:48, :64][..., None]
+    flow = np.random.RandomState(0).randn(48, 64, 2).astype(np.float32) * 0.5
+    cfg = DISConfig(mode="flow", channels=1, sc_f=0, sc_l=0)
+
+    out_pallas = np.asarray(
+        rf.refine_level(jnp.asarray(flow), jnp.asarray(img1), jnp.asarray(img2), 2, cfg)
+    )
+    old = refine_mod.PALLAS_SOR_MAX_PIXELS
+    try:
+        refine_mod.PALLAS_SOR_MAX_PIXELS = 0  # force XLA path
+        out_xla = np.asarray(
+            rf.refine_level(jnp.asarray(flow), jnp.asarray(img1), jnp.asarray(img2), 2, cfg)
+        )
+    finally:
+        refine_mod.PALLAS_SOR_MAX_PIXELS = old
+    np.testing.assert_allclose(out_pallas, out_xla, rtol=1e-4, atol=1e-4)

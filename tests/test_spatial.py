@@ -1,0 +1,62 @@
+"""Spatial sharding: sharded result == single-device result (8-dev CPU mesh)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from of_dis_tpu import DISConfig
+from of_dis_tpu.parallel.spatial import halo_x, spatial_flow
+
+
+def tx_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("tx",))
+
+
+def test_halo_exchange_matches_pad():
+    """halo_x under shard_map == jnp.pad on the gathered array."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    mesh = tx_mesh(4)
+    x = np.arange(6 * 16, dtype=np.float32).reshape(6, 16)
+
+    def f_edge(xl):
+        return halo_x(xl, 2, "tx", "edge")
+
+    out = jax.shard_map(
+        f_edge, mesh=mesh, in_specs=P(None, "tx"), out_specs=P(None, "tx"),
+        check_vma=False,
+    )(x)
+    # per-strip halo views: verify strip 1 explicitly
+    strips = np.split(x, 4, axis=1)
+    expect1 = np.concatenate(
+        [strips[0][:, -2:], strips[1], strips[2][:, :2]], axis=1
+    )
+    got = np.asarray(out).reshape(6, 4, 8)  # 4 strips of width 4+2+2
+    np.testing.assert_array_equal(got[:, 1, :], expect1)
+    # strip 0 left edge must replicate column 0
+    np.testing.assert_array_equal(got[:, 0, 0], x[:, 0])
+    np.testing.assert_array_equal(got[:, 0, 1], x[:, 0])
+
+
+@pytest.mark.parametrize("ntx", [4])
+def test_spatial_flow_matches_single_device(ntx, smooth_pair):
+    """Compile-heavy (shard_map over the full pipeline); one mesh size is
+    enough — halo logic is mesh-size-generic and covered by the halo test."""
+    img1, img2, (tu, tv) = smooth_pair  # 96 x 128
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=True, tv_solverit=2,
+    ).validate()
+    mesh = tx_mesh(ntx)
+    sharded = np.asarray(spatial_flow(img1, img2, cfg, mesh))
+    from of_dis_tpu.models.dis import dis_padded_jit
+    import jax.numpy as jnp
+
+    single = np.asarray(dis_padded_jit(jnp.asarray(img1[..., None]),
+                                       jnp.asarray(img2[..., None]), cfg))
+    np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-3)
+    inner = sharded[16:-16, 16:-16]
+    assert abs(np.median(inner[..., 0]) - tu) < 0.15
+    assert abs(np.median(inner[..., 1]) - tv) < 0.15
