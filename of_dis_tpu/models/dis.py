@@ -68,7 +68,10 @@ def _level_flow(
             p_init_bw = jnp.zeros((geo.n_patches, cfg.nop), jnp.float32)
         else:
             p_init_bw = 2.0 * flow_bw_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
-        res_bw = optimize_level(im_a, tmpl_bw, pt_ref, p_init_bw, cfg, w, h, pad)
+        res_bw = optimize_level(
+            im_a, tmpl_bw, pt_ref, p_init_bw, cfg, w, h, pad,
+            camlr=1 - cfg.camlr,
+        )
 
     flow_fw = aggregate_flow_dense(res_fw, geo, cfg, bw_result=res_bw)
     if cfg.use_fb_merge and sl > cfg.sc_l:

@@ -204,10 +204,17 @@ def optimize_level(
     w: int,
     h: int,
     pad: int,
+    camlr: int | None = None,
 ) -> SearchResult:
     """Run all patches of one level to convergence (PatClass::OptimizeIter +
     OptimizeStart + OptimizeComputeErrImg, patch.cpp:119-284), as a fixed
-    `max_iter`-trip loop with per-patch masking."""
+    `max_iter`-trip loop with per-patch masking.
+
+    camlr overrides cfg.camlr for the stereo sign clamp — the backward grid
+    of the fb-merge pass sees the flipped camera (cpr.camlr = 1,
+    oflow.cpp:154-157)."""
+    if camlr is None:
+        camlr = cfg.camlr
     psz = cfg.patch_size
     nop = cfg.nop
     novals = float(cfg.novals)
@@ -259,7 +266,7 @@ def optimize_level(
         p_new = p_iter - delta_p
         if cfg.mode == "stereo":
             # Disparity sign clamp by camera (patch.cpp:188-193).
-            if cfg.camlr == 0:
+            if camlr == 0:
                 p_new = jnp.minimum(p_new, 0.0)
             else:
                 p_new = jnp.maximum(p_new, 0.0)

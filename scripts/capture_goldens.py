@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Capture golden outputs from the UNMODIFIED reference binaries.
+
+Generates deterministic synthetic image pairs, runs the reference binaries
+(built by scripts/build_reference.sh) at the relevant operating points and
+explicit-parameter variants, and stores inputs + outputs under tests/goldens/
+with a manifest.json describing each case.  tests/test_golden.py then replays
+every case through the TPU pipeline and asserts EPE-tolerance agreement
+(SURVEY.md §4 item 1).
+
+Run:  bash scripts/build_reference.sh /tmp/refbuild
+      python scripts/capture_goldens.py /tmp/refbuild
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+from scipy.ndimage import gaussian_filter, map_coordinates
+
+GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+H, W = 160, 256  # small enough for fast tests, big enough for 4 scales
+
+
+def smooth_field(rng, h, w, sigma, amp):
+    f = gaussian_filter(rng.randn(h, w).astype(np.float32), sigma)
+    return f / (np.abs(f).max() + 1e-9) * amp
+
+
+def make_of_pair(rng):
+    """Gray+RGB pair related by a smooth synthetic flow (max ~6 px)."""
+    base = gaussian_filter(rng.rand(H + 40, W + 40, 3).astype(np.float32), 2.5)
+    base = (base - base.min()) / (base.max() - base.min()) * 255.0
+    img1 = base[20 : 20 + H, 20 : 20 + W]
+    u = smooth_field(rng, H, W, 24, 6.0)
+    v = smooth_field(rng, H, W, 24, 4.0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img2 = np.stack(
+        [
+            map_coordinates(base[..., c], [yy + v + 20, xx + u + 20], order=1)
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    return img1.astype(np.uint8), img2.astype(np.uint8)
+
+
+def make_de_pair(rng):
+    """Rectified stereo pair, img1 = left camera: content shifts LEFT going
+    left->right image, so the match for img1(x) is img2(x - d) with d in
+    2..6 px — internal parameter p = -d <= 0 per the left-camera clamp
+    (patch.cpp:188-193)."""
+    base = gaussian_filter(rng.rand(H + 40, W + 40, 3).astype(np.float32), 2.5)
+    base = (base - base.min()) / (base.max() - base.min()) * 255.0
+    img1 = base[20 : 20 + H, 20 : 20 + W]
+    d = 4.0 + smooth_field(rng, H, W, 30, 2.0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img2 = np.stack(
+        [
+            map_coordinates(base[..., c], [yy + 20, xx + d + 20], order=1)
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    return img1.astype(np.uint8), img2.astype(np.uint8)
+
+
+def explicit_args(op2_scf, **ov):
+    """Variant-3 argv (README.md:66-88) with op2 defaults at this width."""
+    p = dict(
+        lv_f=op2_scf, lv_l=max(op2_scf - 2, 0), miniter=12, maxiter=12,
+        mindprate=0.05, mindrrate=0.95, minimgerr=0.0, patchsz=8, poverl=0.4,
+        usefbcon=0, patnorm=1, costfct=0, usetvref=1, tv_alpha=10.0,
+        tv_gamma=10.0, tv_delta=5.0, tv_innerit=1, tv_solverit=3, tv_sor=1.6,
+        verbosity=0,
+    )
+    p.update(ov)
+    order = [
+        "lv_f", "lv_l", "miniter", "maxiter", "mindprate", "mindrrate",
+        "minimgerr", "patchsz", "poverl", "usefbcon", "patnorm", "costfct",
+        "usetvref", "tv_alpha", "tv_gamma", "tv_delta", "tv_innerit",
+        "tv_solverit", "tv_sor", "verbosity",
+    ]
+    return [str(p[k]) for k in order], p
+
+
+def main():
+    refbin = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild"
+    os.makedirs(GOLD, exist_ok=True)
+    rng = np.random.RandomState(7)
+    of1, of2 = make_of_pair(rng)
+    de1, de2 = make_de_pair(np.random.RandomState(13))
+
+    # cv2 writes BGR; store PNGs so cv::imread in the reference and our loader
+    # see identical bytes.
+    for name, img in [("of1.png", of1), ("of2.png", of2), ("de1.png", de1), ("de2.png", de2)]:
+        cv2.imwrite(os.path.join(GOLD, name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    from of_dis_tpu.config import auto_first_scale
+
+    scf8 = auto_first_scale(W, 5, 8)
+
+    cases = []
+
+    def run(case, binname, in1, in2, ext, args, params=None):
+        out = os.path.join(GOLD, case + ext)
+        cmd = [os.path.join(refbin, binname), os.path.join(GOLD, in1), os.path.join(GOLD, in2), out] + args
+        subprocess.run(cmd, check=True, capture_output=True)
+        cases.append(
+            dict(case=case, binary=binname, img1=in1, img2=in2, out=case + ext, args=args, params=params)
+        )
+        print("captured", case)
+
+    # Operating points 1-4, gray OF.
+    for op in (1, 2, 3, 4):
+        run(f"of_int_op{op}", "run_OF_INT", "of1.png", "of2.png", ".flo", [str(op)])
+    # RGB OF, stereo gray/RGB, gradient-channel OF at op2.
+    run("of_rgb_op2", "run_OF_RGB", "of1.png", "of2.png", ".flo", ["2"])
+    run("de_int_op2", "run_DE_INT", "de1.png", "de2.png", ".pfm", ["2"])
+    run("de_rgb_op2", "run_DE_RGB", "de1.png", "de2.png", ".pfm", ["2"])
+    run("of_grad_op2", "run_OF_GRAD", "of1.png", "of2.png", ".flo", ["2"])
+
+    # Variant-3 explicit-parameter cases exercising features op points skip.
+    for case, ov in [
+        ("of_int_fbcon", dict(usefbcon=1)),
+        ("of_int_l1", dict(costfct=1, usetvref=0)),
+        ("of_int_huber", dict(costfct=2, usetvref=0)),
+        ("of_int_nonorm", dict(patnorm=0)),
+        ("of_int_psz12", dict(patchsz=12, poverl=0.75)),
+    ]:
+        args, params = explicit_args(scf8, **ov)
+        run(case, "run_OF_INT", "of1.png", "of2.png", ".flo", args, params)
+    # Stereo with explicit params + fb-con.
+    args, params = explicit_args(scf8, usefbcon=1)
+    run("de_int_fbcon", "run_DE_INT", "de1.png", "de2.png", ".pfm", args, params)
+
+    with open(os.path.join(GOLD, "manifest.json"), "w") as f:
+        json.dump(dict(width=W, height=H, cases=cases), f, indent=1)
+    print(f"{len(cases)} goldens in {GOLD}")
+
+
+if __name__ == "__main__":
+    main()
