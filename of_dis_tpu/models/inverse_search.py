@@ -10,8 +10,14 @@ TPU-native redesign of the reference per-patch optimizer
     convergence flag.  This reproduces the reference's per-patch early-exit
     state machine exactly (patch.cpp:158-284) while keeping control flow
     static for XLA.
-  - The hot bilinear patch gather runs as one flat `jnp.take` over the padded
-    level image per iteration (see ops/interp.py).
+  - The hot bilinear patch extraction exploits the outlier reset rule
+    (patch.cpp:198-208): a patch never moves more than psz/2 from its START
+    position, so its entire search is confined to a static (2psz+2)^2 window
+    around pt_st.  The windows are gathered from HBM ONCE per level; every
+    GN iteration then samples inside its window with a separable two-hot
+    row/column reduction laid out patches-last — (psz, S, C, N) tensors with
+    the patch axis on VPU lanes — so the per-iteration cost is
+    O(N*psz*S^2*C) fused VPU FMAs, independent of the image size.
   - The 2x2 Hessian solve (patch.cpp:176-184, Eigen LLT) becomes the
     closed-form inverse; for stereo it is a scalar divide.
 
@@ -35,10 +41,9 @@ import os
 
 from ..config import DISConfig
 from ..ops.interp import (
-    extract_bilinear_matmul,
-    extract_bilinear_windows,
     extract_int_matmul,
     extract_int_windows,
+    gather_windows_rows,
     window_offsets,
 )
 
@@ -94,38 +99,6 @@ def _loss(diff: jnp.ndarray, cfg: DISConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _use_matmul_extract(img: jnp.ndarray) -> bool:
     return img.shape[0] * img.shape[1] <= MATMUL_EXTRACT_MAX_PIXELS
-
-
-def _target_residual(
-    im_b: jnp.ndarray,     # (Hp, Wp, C) padded target image
-    pt: jnp.ndarray,
-    tmpl: PatchTemplates,
-    cfg: DISConfig,
-    pad: int,
-    offs_p1: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Extract the query patch at pt and compute (pdiff, pweight)."""
-    psz = cfg.patch_size
-    if _use_matmul_extract(im_b):
-        raw = extract_bilinear_matmul(im_b, pt, psz, pad)
-    else:
-        wp = im_b.shape[1]
-        raw = extract_bilinear_windows(
-            im_b.reshape(-1, im_b.shape[2]), pt, psz, pad, wp, offs_p1
-        )
-    raw = _mean_normalize(raw, cfg.patch_norm)
-    if cfg.cost == 10:
-        # Real NCC-style cost: scale the query patch's energy to the
-        # template's before differencing.  The reference README advertises
-        # costfct 10/NCC but the code has no branch for it (patch.cpp:230-262
-        # falls through leaving pdiff = raw patch) — this is an intentional
-        # fidelity-plus deviation.
-        tn = jnp.sqrt(jnp.sum(tmpl.tmp * tmpl.tmp, axis=(1, 2, 3), keepdims=True))
-        rn = jnp.sqrt(jnp.sum(raw * raw, axis=(1, 2, 3), keepdims=True))
-        diff = raw * (tn / jnp.maximum(rn, 1e-10)) - tmpl.tmp
-        return diff, jnp.abs(diff)
-    diff = raw - tmpl.tmp
-    return _loss(diff, cfg)
 
 
 def build_templates(
@@ -210,6 +183,13 @@ def optimize_level(
     OptimizeStart + OptimizeComputeErrImg, patch.cpp:119-284), as a fixed
     `max_iter`-trip loop with per-patch masking.
 
+    The whole search runs inside per-patch local windows (module docstring):
+    every position a patch can reach satisfies |pt - pt_st| <= psz/2
+    componentwise (outlier reset, patch.cpp:198-208) and bilinear taps span
+    psz+1 px, so a window of S = 2*psz+2 rows/cols around pt_st covers every
+    extraction exactly.  Windows are gathered once; iterations never touch
+    the full image again.
+
     camlr overrides cfg.camlr for the stereo sign clamp — the backward grid
     of the fb-merge pass sees the flipped camera (cpr.camlr = 1,
     oflow.cpp:154-157)."""
@@ -218,8 +198,11 @@ def optimize_level(
     psz = cfg.patch_size
     nop = cfg.nop
     novals = float(cfg.novals)
-    offs_p1 = window_offsets(psz + 1, im_b.shape[1])
     n = pt_ref.shape[0]
+    hp, wp, c = im_b.shape
+    lb = -(psz // 2)
+    sy = min(2 * psz + 2, hp)
+    sx = min(2 * psz + 2, wp)
 
     # ---- OptimizeStart (patch.cpp:120-156) ----
     p_in = p_init
@@ -228,62 +211,130 @@ def optimize_level(
     pt_st = pt_iter
     oob0 = _out_of_bounds(pt_iter, w, h, psz)
 
-    # Clamp for the gather only; lanes with oob0 are masked out below.
-    pdiff0, pweight0 = _target_residual(
-        im_b, pt_iter, tmpl, cfg, pad, offs_p1
+    # Per-patch window bases (padded coords).  Clamping keeps the gather in
+    # range; for in-bounds lanes every needed tap still lands inside the
+    # clamped window (needed rows span at most hp and sit within S of base).
+    by = jnp.clip(
+        jnp.floor(pt_st[:, 1]).astype(jnp.int32) + lb - psz // 2 + pad, 0, hp - sy
     )
+    bx = jnp.clip(
+        jnp.floor(pt_st[:, 0]).astype(jnp.int32) + lb - psz // 2 + pad, 0, wp - sx
+    )
+    win = gather_windows_rows(im_b, by, bx, sy, sx)  # (sy, sx, C, N) — patches on lanes
+
+    # Templates in patches-last layout (transpose once per level).
+    T = jnp.transpose(tmpl.tmp, (1, 2, 3, 0))   # (psz, psz, C, N)
+    DX = jnp.transpose(tmpl.dx, (1, 2, 3, 0))
+    DY = jnp.transpose(tmpl.dy, (1, 2, 3, 0))
+    if nop == 2:
+        h00, h01, h11 = tmpl.hes[:, 0], tmpl.hes[:, 1], tmpl.hes[:, 2]
+        det = h00 * h11 - h01 * h01
+    else:
+        h00 = tmpl.hes[:, 0]
+
+    jj = jnp.arange(psz, dtype=jnp.int32)
+    ky = jnp.arange(sy, dtype=jnp.int32)
+    kx = jnp.arange(sx, dtype=jnp.int32)
+
+    def extract(pt):
+        """Bilinear patch at pt from the per-patch windows: separable two-hot
+        row/col reduction (getPatchStaticBil semantics, patch.cpp:334-402).
+        Returns (psz, psz, C, N)."""
+        fy = jnp.floor(pt[:, 1])
+        fx = jnp.floor(pt[:, 0])
+        ry = (pt[:, 1] - fy)[None, None, :]
+        rx = (pt[:, 0] - fx)[None, None, :]
+        oy = fy.astype(jnp.int32) + lb + pad - by  # (N,) in [0, sy-psz-1]
+        ox = fx.astype(jnp.int32) + lb + pad - bx
+        ty = oy[None, None, :] + jj[None, :, None]             # (1, psz, N)
+        RY = jnp.where(ky[:, None, None] == ty, 1.0 - ry, 0.0) + jnp.where(
+            ky[:, None, None] == ty + 1, ry, 0.0
+        )  # (sy, psz, N)
+        tx = ox[None, None, :] + jj[None, :, None]
+        CX = jnp.where(kx[:, None, None] == tx, 1.0 - rx, 0.0) + jnp.where(
+            kx[:, None, None] == tx + 1, rx, 0.0
+        )  # (sx, psz, N)
+        # rows: (sy,1,sx,C,N)*(sy,psz,1,1,N) -> sum_k -> (psz, sx, C, N)
+        rows = jnp.sum(win[:, None] * RY[:, :, None, None, :], axis=0)
+        # cols: (psz,sx,1,C,N)*(1,sx,psz,1,N) -> sum_s -> (psz, psz, C, N)
+        return jnp.sum(rows[:, :, None] * CX[None, :, :, None, :], axis=1)
+
+    def residual(pt):
+        raw = extract(pt)
+        if cfg.patch_norm:
+            raw = raw - jnp.mean(raw, axis=(0, 1, 2), keepdims=True)
+        if cfg.cost == 10:
+            # Real NCC-style cost (README's costfct 10 — silent no-op in the
+            # reference, patch.cpp:230-262; intentional fidelity-plus).
+            tn = jnp.sqrt(jnp.sum(T * T, axis=(0, 1, 2), keepdims=True))
+            rn = jnp.sqrt(jnp.sum(raw * raw, axis=(0, 1, 2), keepdims=True))
+            diff = raw * (tn / jnp.maximum(rn, 1e-10)) - T
+            return diff, jnp.abs(diff)
+        return _loss(raw - T, cfg)
+
     # Invalid-start lanes: pdiff = template (patch.cpp:139); pweight defined
     # as |loss(template)| (see module docstring).
-    tmpl_pd, tmpl_pw = (tmpl.tmp, jnp.abs(tmpl.tmp)) if cfg.cost == 10 else _loss(tmpl.tmp, cfg)
-    m0 = oob0[:, None, None, None]
-    pdiff = jnp.where(m0, tmpl_pd, pdiff0)
-    pweight = jnp.where(m0, tmpl_pw, pweight0)
-
-    mares_old = jnp.full((n,), 1e5, dtype=jnp.float32)
-    mares = jnp.sum(pweight0, axis=(1, 2, 3)) / novals
-    mares = jnp.where(oob0, 1e5, mares)
-    # Start-phase convergence check with cnt = 0 (patch.cpp:279-282).
-    not_conv0 = (0 < cfg.max_iter) & (mares > cfg.res_thresh)
-    if cfg.min_iter <= 0:
-        not_conv0 = not_conv0 & jnp.zeros_like(not_conv0)  # degenerate, matches C
-    converged = oob0 | ~not_conv0
-
-    dpsq = jnp.full((n,), 1e-10, dtype=jnp.float32)
-    dpsq_init = jnp.full((n,), 1e-10, dtype=jnp.float32)
-    cnt = jnp.zeros((n,), dtype=jnp.int32)
+    tmpl_pd, tmpl_pw = (T, jnp.abs(T)) if cfg.cost == 10 else _loss(T, cfg)
 
     dp_thresh_sq = cfg.dp_thresh * cfg.dp_thresh  # squared once (oflow.cpp:88)
     outlier_sq = cfg.outlier_thresh * cfg.outlier_thresh
 
+    # The loop runs max_iter+1 trips; trip 0 IS OptimizeStart
+    # (patch.cpp:120-156) — delta_p forced to 0, no clamp/reset, start-rule
+    # convergence — so XLA compiles exactly ONE extraction for the whole
+    # state machine instead of a separate out-of-loop copy.
+    pdiff = jnp.zeros((psz, psz, c, n), jnp.float32)
+    pweight = jnp.zeros((psz, psz, c, n), jnp.float32)
+    mares = jnp.full((n,), 1e5, dtype=jnp.float32)
+    mares_old = jnp.full((n,), 1e5, dtype=jnp.float32)
+    dpsq = jnp.full((n,), 1e-10, dtype=jnp.float32)
+    dpsq_init = jnp.full((n,), 1e-10, dtype=jnp.float32)
+    cnt = jnp.zeros((n,), dtype=jnp.int32)
+    converged = jnp.zeros((n,), dtype=bool)
+
     state = (p_iter, pt_iter, pdiff, pweight, mares, mares_old, dpsq, dpsq_init, cnt, converged)
 
-    def body(_, state):
+    def body(i, state):
         (p_iter, pt_iter, pdiff, pweight, mares, mares_old, dpsq, dpsq_init, cnt, converged) = state
+        first = i == 0
         active = ~converged
-        cnt_n = cnt + 1
+        cnt_n = jnp.where(first, 0, cnt + 1)
 
-        delta_p = _solve_step(tmpl, pdiff, nop)
+        # delta_p = H^-1 (J^T pdiff) (patch.cpp:176-184).
+        b0 = jnp.sum(DX * pdiff, axis=(0, 1, 2))
+        if nop == 2:
+            b1 = jnp.sum(DY * pdiff, axis=(0, 1, 2))
+            du = (h11 * b0 - h01 * b1) / det
+            dv = (h00 * b1 - h01 * b0) / det
+            delta_p = jnp.stack([du, dv], axis=1)
+        else:
+            delta_p = (b0 / h00)[:, None]
+        delta_p = jnp.where(first, 0.0, delta_p)
         p_new = p_iter - delta_p
         if cfg.mode == "stereo":
-            # Disparity sign clamp by camera (patch.cpp:188-193).
-            if camlr == 0:
-                p_new = jnp.minimum(p_new, 0.0)
-            else:
-                p_new = jnp.maximum(p_new, 0.0)
+            # Disparity sign clamp by camera (patch.cpp:188-193); the start
+            # trip leaves p_init unclamped like OptimizeStart.
+            clamped = jnp.minimum(p_new, 0.0) if camlr == 0 else jnp.maximum(p_new, 0.0)
+            p_new = jnp.where(first, p_new, clamped)
         pt_new = _param_to_pt(pt_ref, p_new, nop)
 
         # Outlier / bounds reset (patch.cpp:198-208).
         moved = jnp.sum((pt_st - pt_new) ** 2, axis=1) > outlier_sq
-        reset = moved | _out_of_bounds(pt_new, w, h, psz)
+        reset = ~first & (moved | _out_of_bounds(pt_new, w, h, psz))
         p_new = jnp.where(reset[:, None], p_in, p_new)
         pt_new = _param_to_pt(pt_ref, p_new, nop)
 
         # OptimizeComputeErrImg (patch.cpp:264-284) — runs even after a reset.
-        pd_new, pw_new = _target_residual(im_b, pt_new, tmpl, cfg, pad, offs_p1)
-        dpsq_n = jnp.sum(delta_p * delta_p, axis=1)
+        pd_new, pw_new = residual(pt_new)
+        oob_start = first & oob0
+        m0 = oob_start[None, None, None, :]
+        pd_new = jnp.where(m0, tmpl_pd, pd_new)
+        pw_new = jnp.where(m0, tmpl_pw, pw_new)
+        dpsq_n = jnp.where(first, 1e-10, jnp.sum(delta_p * delta_p, axis=1))
         dpsq_init_n = jnp.where(cnt_n == 1, dpsq_n, dpsq_init)
-        mares_old_n = mares
-        mares_n = jnp.sum(pw_new, axis=(1, 2, 3)) / novals
+        mares_old_n = jnp.where(first, 1e5, mares)
+        mares_n = jnp.sum(pw_new, axis=(0, 1, 2)) / novals
+        mares_n = jnp.where(oob_start, 1e5, mares_n)
 
         keep_going = (
             (cnt_n < cfg.max_iter)
@@ -291,10 +342,10 @@ def optimize_level(
             & ((cnt_n < cfg.min_iter) | (dpsq_n / dpsq_init_n >= dp_thresh_sq))
             & ((cnt_n < cfg.min_iter) | (mares_n / mares_old_n <= cfg.dr_thresh))
         )
-        conv_n = converged | reset | ~keep_going
+        conv_n = converged | reset | ~keep_going | oob_start
 
         am = active[:, None]
-        am4 = active[:, None, None, None]
+        am4 = active[None, None, None, :]
         return (
             jnp.where(am, p_new, p_iter),
             jnp.where(am, pt_new, pt_iter),
@@ -308,6 +359,7 @@ def optimize_level(
             jnp.where(active, conv_n, converged),
         )
 
-    state = jax.lax.fori_loop(0, cfg.max_iter, body, state)
+    state = jax.lax.fori_loop(0, cfg.max_iter + 1, body, state)
     p_iter, pt_iter, _, pweight, _, _, _, _, _, converged = state
+    pweight = jnp.transpose(pweight, (3, 0, 1, 2))  # back to (N, psz, psz, C)
     return SearchResult(p=p_iter, pt=pt_iter, pweight=pweight, converged=converged)

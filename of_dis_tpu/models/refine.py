@@ -25,6 +25,7 @@ Inner-iteration count scales with pyramid level: n_inner = tv_innerit *
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -97,17 +98,19 @@ DERIV3 = (-0.5, 0.0, 0.5)
 # Warp + derivatives
 # ---------------------------------------------------------------------------
 
-def image_warp(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):
-    """Bilinear backward warp with clamp-to-edge taps and in-bounds mask
-    (image_warp, opticalflow_aux.c:16-60).  src (h, w, C); wx, wy (h, w)."""
-    h, w, c = src.shape
+# Use the gather-free matmul warp while its vertical-phase FLOPs
+# (2 * h*w * h*w * C) stay under this budget; element gathers cost ~10 ns/el
+# on TPU so the MXU path wins by ~20x at typical finest-level sizes.
+WARP_MATMUL_MAX_FLOPS = int(os.environ.get("OF_DIS_WARP_MATMUL_MAX_FLOPS", 400_000_000))
+
+
+def _warp_coords(src, wx, wy):
+    h, w, _ = src.shape
     jj, ii = jnp.mgrid[0:h, 0:w]
     xx = ii.astype(jnp.float32) + wx
     yy = jj.astype(jnp.float32) + wy
     x = jnp.floor(xx)
     y = jnp.floor(yy)
-    dx = (xx - x)[..., None]
-    dy = (yy - y)[..., None]
     mask = (
         (xx >= 0.0) & (xx <= w - 1.0) & (yy >= 0.0) & (yy <= h - 1.0)
     ).astype(jnp.float32)
@@ -115,6 +118,41 @@ def image_warp(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):
     x2 = jnp.clip(x.astype(jnp.int32) + 1, 0, w - 1)
     y1 = jnp.clip(y.astype(jnp.int32), 0, h - 1)
     y2 = jnp.clip(y.astype(jnp.int32) + 1, 0, h - 1)
+    return (xx - x), (yy - y), x1, x2, y1, y2, mask
+
+
+def image_warp(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):
+    """Bilinear backward warp with clamp-to-edge taps and in-bounds mask
+    (image_warp, opticalflow_aux.c:16-60).  src (h, w, C); wx, wy (h, w).
+
+    Small levels: gather-free.  Bilinear weights separate per axis, so the
+    warp is (1) a per-pixel two-hot row-interpolation ver[ji, l] =
+    (1-dy)*src[y1,l] + dy*src[y2,l] for ALL columns l — one (h*w, h) @
+    (h, w*C) MXU matmul — then (2) a horizontal two-hot reduce picking
+    columns x1/x2.  Large levels fall back to the 4-tap element gather.
+    """
+    h, w, c = src.shape
+    dx, dy, x1, x2, y1, y2, mask = _warp_coords(src, wx, wy)
+    dx = dx[..., None]
+    dy = dy[..., None]
+
+    if 2 * (h * w) * (h * w) * c <= WARP_MATMUL_MAX_FLOPS:
+        ks = jnp.arange(h, dtype=jnp.int32)[None, :]
+        y1f = y1.reshape(-1, 1)
+        y2f = y2.reshape(-1, 1)
+        R = jnp.where(ks == y1f, 1.0 - dy.reshape(-1, 1), 0.0) + jnp.where(
+            ks == y2f, dy.reshape(-1, 1), 0.0
+        )  # (h*w, h)
+        ver = jnp.dot(
+            R, src.reshape(h, w * c), preferred_element_type=jnp.float32
+        ).reshape(h, w, w, c)  # [j, i, l, c] vertically interpolated columns
+        ls = jnp.arange(w, dtype=jnp.int32)[None, None, :, None]
+        Hsel = jnp.where(ls == x1[..., None, None], 1.0 - dx[:, :, None], 0.0) + jnp.where(
+            ls == x2[..., None, None], dx[:, :, None], 0.0
+        )  # (h, w, l, 1)
+        dst = jnp.sum(ver * Hsel, axis=2)
+        return dst, mask
+
     flat = src.reshape(-1, c)
     # One fused gather for all 4 taps (each jnp.take pays a fixed
     # latency-bound cost on TPU; 4 separate calls quadruple it).
@@ -302,8 +340,6 @@ def sor_scalar_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
 # ---------------------------------------------------------------------------
 # Level driver
 # ---------------------------------------------------------------------------
-
-import os
 
 # Use the fused Pallas SOR kernel when the level fits in VMEM (set to 0 to
 # force the XLA red-black path, e.g. for A/B testing).

@@ -31,6 +31,13 @@ def window_offsets(win: int, wp: int) -> jnp.ndarray:
     return jnp.asarray(oy * wp + ox, dtype=jnp.int32)
 
 
+def window_offsets_rect(wy: int, wx: int, wp: int) -> jnp.ndarray:
+    """Static (wy, wx) flat offsets into a row-major (Hp, Wp) image."""
+    oy = np.arange(wy, dtype=np.int64)[:, None]
+    ox = np.arange(wx, dtype=np.int64)[None, :]
+    return jnp.asarray(oy * wp + ox, dtype=jnp.int32)
+
+
 def gather_windows(
     img_flat: jnp.ndarray,  # (Hp*Wp, C)
     base_y: jnp.ndarray,    # (N,) int32, top row of window (padded coords)
@@ -150,6 +157,40 @@ def extract_int_matmul(
         preferred_element_type=jnp.float32,
     )
     return jnp.transpose(out, (0, 1, 3, 2))
+
+
+def gather_windows_rows(
+    img: jnp.ndarray,    # (Hp, Wp, C) padded level image
+    by: jnp.ndarray,     # (N,) int32 top row per window, in [0, Hp-sy]
+    bx: jnp.ndarray,     # (N,) int32 left col per window, in [0, Wp-sx]
+    sy: int,
+    sx: int,
+) -> jnp.ndarray:
+    """Gather per-patch (sy, sx) windows, returned patches-last (sy, sx, C, N).
+
+    Element gathers are pathological on TPU (~10 ns/element); whole-ROW
+    gathers lower to DMA-like slices and run ~400x faster.  So: take the sy
+    full-width rows of every window in one row gather, then select the sx
+    columns with a fused one-hot reduce over Wp (VPU, patches on lanes).
+    """
+    hp, wp, c = img.shape
+    n = by.shape[0]
+    rows = by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]  # (N, sy)
+    if n * sy * hp * wp * c * 2 <= 20_000_000_000 // 32:
+        # Small level: one-hot MXU matmul beats the row gather (element and
+        # even row gathers are latency-bound at ~8 ns/row on TPU; the dense
+        # (N*sy, Hp) @ (Hp, Wp*C) product is a fraction of a millisecond).
+        ks = jnp.arange(hp, dtype=jnp.int32)[None, :]
+        R = (rows.reshape(-1, 1) == ks).astype(img.dtype)  # (N*sy, Hp)
+        band = jnp.dot(R, img.reshape(hp, wp * c), preferred_element_type=jnp.float32)
+    else:
+        band = jnp.take(img.reshape(hp, wp * c), rows.reshape(-1), axis=0)
+    band = band.reshape(n, sy, wp, c).transpose(1, 2, 3, 0)  # (sy, Wp, C, N)
+    kx = jnp.arange(wp, dtype=jnp.int32)[:, None, None]
+    tx = bx[None, None, :] + jnp.arange(sx, dtype=jnp.int32)[None, :, None]
+    sel = (kx == tx).astype(img.dtype)  # (Wp, sx, N)
+    # (sy, Wp, 1, C, N) * (1, Wp, sx, 1, N) -> sum over Wp -> (sy, sx, C, N)
+    return jnp.sum(band[:, :, None] * sel[None, :, :, None, :], axis=1)
 
 
 def extract_bilinear_windows(
