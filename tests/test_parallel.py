@@ -58,3 +58,24 @@ def test_graft_entry_dryrun():
     # trace-only check (full 1024x436 compile is exercised by bench)
     jax.eval_shape(fn, *args)
     ge.dryrun_multichip(8)
+
+
+def test_flow_2d_mesh_matches_single(batch):
+    """(data, tx) 2-D mesh: batch sharded over data, each pair tiled over tx
+    with halo exchange — must match the unsharded pipeline."""
+    from of_dis_tpu.parallel.multihost import flow_2d, mesh_2d
+
+    a, b = batch
+    cfg = tiny_cfg()
+    mesh = mesh_2d(n_data=4, n_tx=2)
+    out = np.asarray(flow_2d(a, b, cfg, mesh))
+    ref = np.asarray(batched_flow(a, b, cfg))
+    # batched_flow upscales to input res when sc_l != 0; here sc_l == 0 so
+    # shapes match directly.
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-4)
+
+
+def test_init_distributed_single_host_noop():
+    from of_dis_tpu.parallel.multihost import init_distributed
+
+    init_distributed()  # must be a no-op without a cluster env
