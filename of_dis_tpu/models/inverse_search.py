@@ -220,12 +220,12 @@ def optimize_level(
     bx = jnp.clip(
         jnp.floor(pt_st[:, 0]).astype(jnp.int32) + lb - psz // 2 + pad, 0, wp - sx
     )
-    win = gather_windows_rows(im_b, by, bx, sy, sx)  # (sy, sx, C, N) — patches on lanes
+    win = gather_windows_rows(im_b, by, bx, sy, sx)  # (sx, C, sy, N) — patches on lanes
 
     # Templates in patches-last layout (transpose once per level).
-    T = jnp.transpose(tmpl.tmp, (1, 2, 3, 0))   # (psz, psz, C, N)
-    DX = jnp.transpose(tmpl.dx, (1, 2, 3, 0))
-    DY = jnp.transpose(tmpl.dy, (1, 2, 3, 0))
+    T = jnp.transpose(tmpl.tmp, (3, 1, 2, 0))   # (C, psz_j, psz_i, N)
+    DX = jnp.transpose(tmpl.dx, (3, 1, 2, 0))
+    DY = jnp.transpose(tmpl.dy, (3, 1, 2, 0))
     if nop == 2:
         h00, h01, h11 = tmpl.hes[:, 0], tmpl.hes[:, 1], tmpl.hes[:, 2]
         det = h00 * h11 - h01 * h01
@@ -239,7 +239,7 @@ def optimize_level(
     def extract(pt):
         """Bilinear patch at pt from the per-patch windows: separable two-hot
         row/col reduction (getPatchStaticBil semantics, patch.cpp:334-402).
-        Returns (psz, psz, C, N)."""
+        Returns (C, psz_j, psz_i, N)."""
         fy = jnp.floor(pt[:, 1])
         fx = jnp.floor(pt[:, 0])
         ry = (pt[:, 1] - fy)[None, None, :]
@@ -249,15 +249,15 @@ def optimize_level(
         ty = oy[None, None, :] + jj[None, :, None]             # (1, psz, N)
         RY = jnp.where(ky[:, None, None] == ty, 1.0 - ry, 0.0) + jnp.where(
             ky[:, None, None] == ty + 1, ry, 0.0
-        )  # (sy, psz, N)
+        )  # (sy, psz_j, N)
         tx = ox[None, None, :] + jj[None, :, None]
         CX = jnp.where(kx[:, None, None] == tx, 1.0 - rx, 0.0) + jnp.where(
             kx[:, None, None] == tx + 1, rx, 0.0
-        )  # (sx, psz, N)
-        # rows: (sy,1,sx,C,N)*(sy,psz,1,1,N) -> sum_k -> (psz, sx, C, N)
-        rows = jnp.sum(win[:, None] * RY[:, :, None, None, :], axis=0)
-        # cols: (psz,sx,1,C,N)*(1,sx,psz,1,N) -> sum_s -> (psz, psz, C, N)
-        return jnp.sum(rows[:, :, None] * CX[None, :, :, None, :], axis=1)
+        )  # (sx, psz_i, N)
+        # rows: (sx,C,sy,1,N)*(1,1,sy,psz_j,N) -> sum ax 2 -> (sx, C, psz_j, N)
+        rows = jnp.sum(win[:, :, :, None, :] * RY[None, None, :, :, :], axis=2)
+        # cols: (sx,C,psz_j,1,N)*(sx,1,1,psz_i,N) -> sum ax 0 -> (C, psz_j, psz_i, N)
+        return jnp.sum(rows[:, :, :, None, :] * CX[:, None, None, :, :], axis=0)
 
     def residual(pt):
         raw = extract(pt)
@@ -283,8 +283,8 @@ def optimize_level(
     # (patch.cpp:120-156) — delta_p forced to 0, no clamp/reset, start-rule
     # convergence — so XLA compiles exactly ONE extraction for the whole
     # state machine instead of a separate out-of-loop copy.
-    pdiff = jnp.zeros((psz, psz, c, n), jnp.float32)
-    pweight = jnp.zeros((psz, psz, c, n), jnp.float32)
+    pdiff = jnp.zeros((c, psz, psz, n), jnp.float32)
+    pweight = jnp.zeros((c, psz, psz, n), jnp.float32)
     mares = jnp.full((n,), 1e5, dtype=jnp.float32)
     mares_old = jnp.full((n,), 1e5, dtype=jnp.float32)
     dpsq = jnp.full((n,), 1e-10, dtype=jnp.float32)
@@ -361,5 +361,5 @@ def optimize_level(
 
     state = jax.lax.fori_loop(0, cfg.max_iter + 1, body, state)
     p_iter, pt_iter, _, pweight, _, _, _, _, _, converged = state
-    pweight = jnp.transpose(pweight, (3, 0, 1, 2))  # back to (N, psz, psz, C)
+    pweight = jnp.transpose(pweight, (3, 1, 2, 0))  # back to (N, psz_j, psz_i, C)
     return SearchResult(p=p_iter, pt=pt_iter, pweight=pweight, converged=converged)

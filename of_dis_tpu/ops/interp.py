@@ -166,31 +166,36 @@ def gather_windows_rows(
     sy: int,
     sx: int,
 ) -> jnp.ndarray:
-    """Gather per-patch (sy, sx) windows, returned patches-last (sy, sx, C, N).
+    """Gather per-patch (sy, sx) windows, returned patches-last (sx, C, sy, N).
 
     Element gathers are pathological on TPU (~10 ns/element); whole-ROW
-    gathers lower to DMA-like slices and run ~400x faster.  So: take the sy
-    full-width rows of every window in one row gather, then select the sx
-    columns with a fused one-hot reduce over Wp (VPU, patches on lanes).
+    gathers (or, for small levels, a one-hot MXU matmul) fetch the sy
+    full-width rows of every window at once, then a fused one-hot reduce
+    over Wp selects the sx columns (VPU, patches on lanes).
     """
     hp, wp, c = img.shape
     n = by.shape[0]
-    rows = by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]  # (N, sy)
     if n * sy * hp * wp * c * 2 <= 20_000_000_000 // 32:
         # Small level: one-hot MXU matmul beats the row gather (element and
-        # even row gathers are latency-bound at ~8 ns/row on TPU; the dense
-        # (N*sy, Hp) @ (Hp, Wp*C) product is a fraction of a millisecond).
-        ks = jnp.arange(hp, dtype=jnp.int32)[None, :]
-        R = (rows.reshape(-1, 1) == ks).astype(img.dtype)  # (N*sy, Hp)
-        band = jnp.dot(R, img.reshape(hp, wp * c), preferred_element_type=jnp.float32)
+        # even row gathers are latency-bound at ~8 ns/row on TPU), and the
+        # transposed product (Wp*C, Hp) @ (Hp, sy*N) lands the band in the
+        # patches-last layout DIRECTLY — no 4-D transpose copies.
+        ks = jnp.arange(hp, dtype=jnp.int32)[:, None, None]
+        rows = by[None, None, :] + jnp.arange(sy, dtype=jnp.int32)[None, :, None]
+        R = (ks == rows).astype(img.dtype).reshape(hp, sy * n)  # (Hp, sy*N)
+        band = jnp.dot(
+            img.reshape(hp, wp * c).T, R, preferred_element_type=jnp.float32
+        ).reshape(wp, c, sy, n)  # (Wp, C, sy, N)
     else:
+        rows = by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]  # (N, sy)
         band = jnp.take(img.reshape(hp, wp * c), rows.reshape(-1), axis=0)
-    band = band.reshape(n, sy, wp, c).transpose(1, 2, 3, 0)  # (sy, Wp, C, N)
+        band = band.reshape(n, sy, wp, c).transpose(2, 3, 1, 0)  # (Wp, C, sy, N)
     kx = jnp.arange(wp, dtype=jnp.int32)[:, None, None]
     tx = bx[None, None, :] + jnp.arange(sx, dtype=jnp.int32)[None, :, None]
     sel = (kx == tx).astype(img.dtype)  # (Wp, sx, N)
-    # (sy, Wp, 1, C, N) * (1, Wp, sx, 1, N) -> sum over Wp -> (sy, sx, C, N)
-    return jnp.sum(band[:, :, None] * sel[None, :, :, None, :], axis=1)
+    # (Wp, 1, 1, sy, C?...) — reduce over Wp:
+    # (Wp, sx, 1, 1, N) * (Wp, 1, C, sy, N) -> sum ax 0 -> (sx, C, sy, N)
+    return jnp.sum(sel[:, :, None, None, :] * band[:, None, :, :, :], axis=0)
 
 
 def extract_bilinear_windows(
