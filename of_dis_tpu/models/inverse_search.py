@@ -15,7 +15,7 @@ TPU-native redesign of the reference per-patch optimizer
     position, so its entire search is confined to a static (2psz+2)^2 window
     around pt_st.  The windows are gathered from HBM ONCE per level; every
     GN iteration then samples inside its window with a separable two-hot
-    row/column reduction laid out patches-last — (psz, S, C, N) tensors with
+    row/column reduction laid out patches-last — (C, psz, psz, N) tensors with
     the patch axis on VPU lanes — so the per-iteration cost is
     O(N*psz*S^2*C) fused VPU FMAs, independent of the image size.
   - The 2x2 Hessian solve (patch.cpp:176-184, Eigen LLT) becomes the
@@ -40,12 +40,7 @@ import numpy as np
 import os
 
 from ..config import DISConfig
-from ..ops.interp import (
-    extract_int_matmul,
-    extract_int_windows,
-    gather_windows_rows,
-    window_offsets,
-)
+from ..ops.interp import extract_int_matmul, gather_windows_rows
 
 # Below this many padded pixels per level, patch extraction runs as MXU
 # matmuls (ops/interp.py: extract_*_matmul) instead of an element gather —
@@ -118,12 +113,19 @@ def build_templates(
         dx = extract_int_matmul(dx_a, pt_ref, psz, pad)
         dy = extract_int_matmul(dy_a, pt_ref, psz, pad)
     else:
-        c = im_a.shape[2]
-        wp = im_a.shape[1]
-        offs = window_offsets(psz, wp)
-        tmp = extract_int_windows(im_a.reshape(-1, c), pt_ref, psz, pad, wp, offs)
-        dx = extract_int_windows(dx_a.reshape(-1, c), pt_ref, psz, pad, wp, offs)
-        dy = extract_int_windows(dy_a.reshape(-1, c), pt_ref, psz, pad, wp, offs)
+        # Large level: chunked row-gather windows (sy = sx = psz, integer
+        # bases) — element gathers at 10 ns/element would dominate here.
+        lb = -(psz // 2)
+        cy = jnp.floor(pt_ref[:, 1] + 0.5).astype(jnp.int32) + pad + lb
+        cx = jnp.floor(pt_ref[:, 0] + 0.5).astype(jnp.int32) + pad + lb
+
+        def ext(img):
+            wnd = gather_windows_rows(img, cy, cx, psz, psz)  # (i, C, j, N)
+            return jnp.transpose(wnd, (3, 2, 0, 1))  # (N, j, i, C)
+
+        tmp = ext(im_a)
+        dx = ext(dx_a)
+        dy = ext(dy_a)
     tmp = _mean_normalize(tmp, cfg.patch_norm)
     h00 = jnp.sum(dx * dx, axis=(1, 2, 3))
     if cfg.nop == 2:

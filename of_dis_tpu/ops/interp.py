@@ -17,6 +17,7 @@ index clipping below only protects lanes that are already converged/masked.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -159,6 +160,12 @@ def extract_int_matmul(
     return jnp.transpose(out, (0, 1, 3, 2))
 
 
+# Max patches whose full-width row band is materialized at once; larger
+# grids (op3/op4 fine levels: 10k-50k patches) are built in lax.map chunks
+# to bound the band at chunk*sy*Wp*C floats per (vmapped-batch) step.
+GATHER_CHUNK = int(os.environ.get("OF_DIS_GATHER_CHUNK", 1024))
+
+
 def gather_windows_rows(
     img: jnp.ndarray,    # (Hp, Wp, C) padded level image
     by: jnp.ndarray,     # (N,) int32 top row per window, in [0, Hp-sy]
@@ -173,6 +180,23 @@ def gather_windows_rows(
     full-width rows of every window at once, then a fused one-hot reduce
     over Wp selects the sx columns (VPU, patches on lanes).
     """
+    n = by.shape[0]
+    if n > GATHER_CHUNK:
+        c = img.shape[2]
+        npad = (-n) % GATHER_CHUNK
+        k = (n + npad) // GATHER_CHUNK
+        byp = jnp.pad(by, (0, npad)).reshape(k, GATHER_CHUNK)
+        bxp = jnp.pad(bx, (0, npad)).reshape(k, GATHER_CHUNK)
+        outs = jax.lax.map(
+            lambda ab: _gather_windows_rows(img, ab[0], ab[1], sy, sx),
+            (byp, bxp),
+        )  # (k, sx, C, sy, chunk)
+        out = jnp.moveaxis(outs, 0, 3).reshape(sx, c, sy, k * GATHER_CHUNK)
+        return out[..., :n]
+    return _gather_windows_rows(img, by, bx, sy, sx)
+
+
+def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
     hp, wp, c = img.shape
     n = by.shape[0]
     if n * sy * hp * wp * c * 2 <= 20_000_000_000 // 32:
