@@ -115,6 +115,8 @@ def build_templates(
     else:
         # Large level: chunked row-gather windows (sy = sx = psz, integer
         # bases) — element gathers at 10 ns/element would dominate here.
+        # (Channel-stacking im/dx/dy into one C=3 gather measures 2x SLOWER
+        # than three C=1 gathers on v5e — XLA handles the wider band badly.)
         lb = -(psz // 2)
         cy = jnp.floor(pt_ref[:, 1] + 0.5).astype(jnp.int32) + pad + lb
         cx = jnp.floor(pt_ref[:, 0] + 0.5).astype(jnp.int32) + pad + lb
