@@ -230,6 +230,30 @@ def optimize_level(
     T = jnp.transpose(tmpl.tmp, (3, 1, 2, 0))   # (C, psz_j, psz_i, N)
     DX = jnp.transpose(tmpl.dx, (3, 1, 2, 0))
     DY = jnp.transpose(tmpl.dy, (3, 1, 2, 0))
+
+    from ..ops.pallas_kernels import gn_pallas_applicable, gn_search_pallas
+
+    if gn_pallas_applicable(sy, sx, psz, c, n):
+        # Fused Pallas kernel: the whole state machine in VMEM.
+        if nop == 2:
+            hes3 = tmpl.hes.T
+        else:
+            hes3 = jnp.concatenate(
+                [tmpl.hes.T, jnp.zeros((2, n), jnp.float32)], axis=0
+            )
+        p_t, pt_t, pw_t, conv = gn_search_pallas(
+            win, T, DX, DY, hes3, pt_ref.T, p_init.T,
+            by[None, :], bx[None, :],
+            psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
+            cfg=cfg, camlr=camlr,
+        )
+        return SearchResult(
+            p=p_t.T,
+            pt=pt_t.T,
+            pweight=jnp.transpose(pw_t, (3, 1, 2, 0)),
+            converged=conv,
+        )
+
     if nop == 2:
         h00, h01, h11 = tmpl.hes[:, 0], tmpl.hes[:, 1], tmpl.hes[:, 2]
         det = h00 * h11 - h01 * h01

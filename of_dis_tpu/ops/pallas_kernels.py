@@ -15,6 +15,7 @@ XLA implementation when the working set would not fit in VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -279,6 +280,299 @@ def refine_inner_pallas(wx, wy, mask, derivs, n_inner, solver_it, omega, qa, hd3
         ),
         interpret=_interpret(),
     )(wx, wy, mask, *dv)
+
+
+# ---------------------------------------------------------------------------
+# Fused inverse-compositional Gauss-Newton search (models/inverse_search.py)
+# ---------------------------------------------------------------------------
+
+def _gn_kernel(
+    win_ref,    # (sx, C, sy, N) per-patch windows (patches on lanes)
+    t_ref, dx_ref, dy_ref,   # (C, psz, psz, N) templates
+    hes_ref,    # (3, N) [h00, h01, h11] (rows 1-2 ignored for stereo)
+    ptref_ref,  # (2, N)
+    pinit_ref,  # (nop, N)
+    by_ref, bx_ref,          # (1, N) int32 window bases (padded coords)
+    p_out, pt_out, pw_out, conv_out,
+    *,
+    psz: int, sy: int, sx: int, nop: int, c: int, pad: int,
+    w: int, h: int, max_iter: int, min_iter: int,
+    cost: int, patch_norm: bool, normoutlier: float,
+    dp_thresh_sq: float, dr_thresh: float, res_thresh: float,
+    outlier_sq: float, stereo_clamp: int,  # -1 none, 0 min(p,0), 1 max(p,0)
+):
+    """The whole per-level GN state machine in ONE kernel: per-iteration
+    two-hot window extraction, loss, 2x2 solve, outlier resets and the
+    reference's convergence predicate (patch.cpp:119-284), with every operand
+    resident in VMEM.  Semantics identical to optimize_level's XLA loop."""
+    f32 = jnp.float32
+    n = ptref_ref.shape[1]
+    lb = -(psz // 2)
+    novals = float(c * psz * psz)
+
+    win = win_ref[:]
+    T = t_ref[:]
+    DX = dx_ref[:]
+    DY = dy_ref[:]
+    h00 = hes_ref[0:1, :]
+    h01 = hes_ref[1:2, :]
+    h11 = hes_ref[2:3, :]
+    det = h00 * h11 - h01 * h01
+    ptref = ptref_ref[:]
+    p_in = pinit_ref[:]
+    by = by_ref[:]
+    bx = bx_ref[:]
+
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (psz, n), 0)
+
+    def csum(x):  # (C, psz, psz, N) -> (1, N)
+        # Reduction-tree note: this cannot be bit-identical to the XLA
+        # path's jnp.sum (different compilers reassociate differently), so
+        # few-ULP divergence between the Pallas and XLA paths is expected;
+        # on chaotic high-gradient patches that flips equally-valid GN
+        # trajectories (see tests/test_golden.py textured cases).
+        return jnp.sum(x.reshape(c * psz * psz, n), axis=0, keepdims=True)
+
+    def param_to_pt(p):
+        if nop == 2:
+            return ptref + p
+        return jnp.concatenate([ptref[0:1] + p[0:1], ptref[1:2]], axis=0)
+
+    def oob(pt):
+        lbf = -float(psz) / 2.0
+        return (
+            (pt[0:1] < lbf) | (pt[1:2] < lbf)
+            | (pt[0:1] > float(w + psz // 2 - 2))
+            | (pt[1:2] > float(h + psz // 2 - 2))
+        )
+
+    def extract(pt):
+        fy = jnp.floor(pt[1:2])
+        fx = jnp.floor(pt[0:1])
+        ry = pt[1:2] - fy   # (1, N)
+        rx = pt[0:1] - fx
+        oy = fy.astype(jnp.int32) + lb + pad - by
+        ox = fx.astype(jnp.int32) + lb + pad - bx
+        ty = oy + jcol      # (psz, N)
+        tx = ox + jcol
+        rows = jnp.zeros((sx, c, psz, n), f32)
+        for k in range(sy):
+            rk = jnp.where(ty == k, 1.0 - ry, 0.0) + jnp.where(ty == k - 1, ry, 0.0)
+            rows = rows + win[:, :, k, :][:, :, None, :] * rk[None, None, :, :]
+        out = jnp.zeros((c, psz, psz, n), f32)
+        for s in range(sx):
+            cs = jnp.where(tx == s, 1.0 - rx, 0.0) + jnp.where(tx == s - 1, rx, 0.0)
+            out = out + rows[s][:, :, None, :] * cs[None, None, :, :]
+        return out
+
+    def loss(diff):
+        if cost == 0:
+            pd = diff
+        elif cost == 1:
+            pd = jnp.sign(diff) * jnp.sqrt(jnp.abs(diff))
+        elif cost == 2:
+            bsq = normoutlier * normoutlier
+            pd = jnp.sign(diff) * jnp.sqrt(
+                2.0 * bsq * (jnp.sqrt(1.0 + diff * diff / bsq) - 1.0)
+            )
+        else:
+            pd = diff
+        return pd, jnp.abs(pd)
+
+    def residual(pt):
+        raw = extract(pt)
+        if patch_norm:
+            raw = raw - (csum(raw) / novals)[None, None]
+        if cost == 10:
+            tn = jnp.sqrt(csum(T * T))[None, None]
+            rn = jnp.sqrt(csum(raw * raw))[None, None]
+            diff = raw * (tn / jnp.maximum(rn, 1e-10)) - T
+            return diff, jnp.abs(diff)
+        return loss(raw - T)
+
+    tmpl_pd, tmpl_pw = (T, jnp.abs(T)) if cost == 10 else loss(T)
+
+    pt_st = param_to_pt(p_in)
+    oob0 = oob(pt_st)  # (1, N) bool
+
+    # Loop-carry inits must have CONCRETE (non-replicated) layouts: Mosaic
+    # assigns splat constants a replicated layout, and the body's select_n
+    # results cannot relayout back into it ("invalid relayout").  The iota
+    # term forces a concrete layout; it is numerically zero.
+    # 0.0 * <input> is not constant-foldable for floats (NaN semantics),
+    # so these zeros keep a concrete vector layout.
+    zf = ptref[0:1] * 0.0
+    zi = zf.astype(jnp.int32)
+    state = (
+        p_in,                                   # p_iter
+        pt_st,                                  # pt_iter
+        jnp.zeros((c, psz, psz, n), f32),       # pdiff
+        jnp.zeros((c, psz, psz, n), f32),       # pweight
+        zf + 1e5,                               # mares
+        zf + 1e5,                               # mares_old
+        zf + 1e-10,                             # dpsq
+        zf + 1e-10,                             # dpsq_init
+        zi,                                     # cnt
+        zi,                                     # converged (0/1 int32; Mosaic
+        # cannot select_n on bool loop carries)
+    )
+
+    def body(i, state):
+        (p_iter, pt_iter, pdiff, pweight, mares, mares_old,
+         dpsq, dpsq_init, cnt, converged) = state
+        # Vector-shaped predicate: Mosaic miscompiles chains of selects on a
+        # scalar predicate ("invalid relayout" on the replicated constant).
+        first = (jnp.zeros((1, n), jnp.int32) + i) == 0
+        active = converged == 0
+        cnt_n = jnp.where(first, 0, cnt + 1)
+
+        b0 = csum(DX * pdiff)
+        if nop == 2:
+            b1 = csum(DY * pdiff)
+            du = (h11 * b0 - h01 * b1) / det
+            dv = (h00 * b1 - h01 * b0) / det
+            delta_p = jnp.concatenate([du, dv], axis=0)
+        else:
+            delta_p = b0 / h00
+        delta_p = jnp.where(first, 0.0, delta_p)
+        p_new = p_iter - delta_p
+        if stereo_clamp == 0:
+            p_new = jnp.where(first, p_new, jnp.minimum(p_new, 0.0))
+        elif stereo_clamp == 1:
+            p_new = jnp.where(first, p_new, jnp.maximum(p_new, 0.0))
+        pt_new = param_to_pt(p_new)
+
+        moved = (
+            jnp.sum((pt_st - pt_new) ** 2, axis=0, keepdims=True) > outlier_sq
+        )
+        reset = jnp.logical_not(first) & (moved | oob(pt_new))
+        p_new = jnp.where(reset, p_in, p_new)
+        pt_new = param_to_pt(p_new)
+
+        pd_new, pw_new = residual(pt_new)
+        oob_start = first & oob0
+        pd_new = jnp.where(oob_start[None, None], tmpl_pd, pd_new)
+        pw_new = jnp.where(oob_start[None, None], tmpl_pw, pw_new)
+        dpsq_n = jnp.where(
+            first, 1e-10, jnp.sum(delta_p * delta_p, axis=0, keepdims=True)
+        )
+        # Arithmetic blend instead of select_n: Mosaic rejects this select
+        # with an "invalid relayout" on the (1, N) operands.
+        m1 = (cnt_n == 1).astype(jnp.float32)
+        dpsq_init_n = m1 * dpsq_n + (1.0 - m1) * dpsq_init
+        mares_old_n = jnp.where(first, 1e5, mares)
+        mares_n = csum(pw_new) / novals
+        mares_n = jnp.where(oob_start, 1e5, mares_n)
+
+        keep_going = (
+            (cnt_n < max_iter)
+            & (mares_n > res_thresh)
+            & ((cnt_n < min_iter) | (dpsq_n / dpsq_init_n >= dp_thresh_sq))
+            & ((cnt_n < min_iter) | (mares_n / mares_old_n <= dr_thresh))
+        )
+        conv_n = ((converged != 0) | reset | ~keep_going | oob_start).astype(
+            jnp.int32
+        )
+
+        am4 = active[None, None]
+        return (
+            jnp.where(active, p_new, p_iter),
+            jnp.where(active, pt_new, pt_iter),
+            jnp.where(am4, pd_new, pdiff),
+            jnp.where(am4, pw_new, pweight),
+            jnp.where(active, mares_n, mares),
+            jnp.where(active, mares_old_n, mares_old),
+            jnp.where(active, dpsq_n, dpsq),
+            jnp.where(active, dpsq_init_n, dpsq_init),
+            jnp.where(active, cnt_n, cnt),
+            jnp.where(active, conv_n, converged),
+        )
+
+    state = jax.lax.fori_loop(0, max_iter + 1, body, state)
+    p_iter, pt_iter, _, pweight, _, _, _, _, _, converged = state
+    p_out[:] = p_iter
+    pt_out[:] = pt_iter
+    pw_out[:] = pweight
+    conv_out[:] = converged
+
+
+# Upper bound on VMEM working set for the fused GN kernel (win + templates +
+# state + extract temporaries), in bytes.  DEFAULT 0 = disabled: on v5e the
+# kernel measures ~1.5x SLOWER than the XLA two-hot formulation (2.29 vs
+# 1.54 ms single-pair op2) — the unrolled sy+sx accumulation loses to XLA's
+# fused multiply-reduce, and under vmap the per-batch-element grid
+# serializes work XLA parallelizes across the batch inside each op.  Kept as
+# an A/B-able alternative (OF_DIS_GN_PALLAS_MAX_BYTES=6000000 to enable);
+# numerics match the XLA path to float-reassociation level (tested).
+GN_PALLAS_MAX_BYTES = int(os.environ.get("OF_DIS_GN_PALLAS_MAX_BYTES", 0))
+
+
+def gn_pallas_applicable(sy: int, sx: int, psz: int, c: int, n: int) -> bool:
+    per_lane = (sx * c * sy) + 3 * (c * psz * psz) + 4 * (c * psz * psz) + (sx * c * psz)
+    return per_lane * n * 4 <= GN_PALLAS_MAX_BYTES
+
+
+def gn_search_pallas(
+    win, T, DX, DY, hes3, ptref, p_init, by, bx, *,
+    psz, sy, sx, nop, c, pad, w, h, cfg, camlr,
+):
+    """Run the fused GN search kernel.  Inputs are patches-last:
+    win (sx, C, sy, N); T/DX/DY (C, psz, psz, N); hes3 (3, N);
+    ptref (2, N); p_init (nop, N); by/bx (1, N) int32.
+    Returns (p (nop,N), pt (2,N), pweight (C,psz,psz,N), converged (N,) bool).
+    """
+    n0 = ptref.shape[1]
+    # Pad the patch (lane) axis to a multiple of 128: full VPU lanes, and
+    # Mosaic miscompiles some (1, n<128) broadcasts ("invalid relayout").
+    n = max(128, -(-n0 // 128) * 128)
+    if n != n0:
+        padn = n - n0
+        win = jnp.pad(win, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        DX = jnp.pad(DX, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        DY = jnp.pad(DY, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        # identity Hessian on padded lanes keeps the solve finite
+        hes3 = jnp.concatenate(
+            [hes3, jnp.tile(jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32), (1, padn))],
+            axis=1,
+        )
+        # far-out-of-bounds centers: padded lanes converge at trip 0
+        ptref = jnp.concatenate(
+            [ptref, jnp.full((2, padn), -1e6, jnp.float32)], axis=1
+        )
+        p_init = jnp.pad(p_init, ((0, 0), (0, padn)))
+        by = jnp.pad(by, ((0, 0), (0, padn)))
+        bx = jnp.pad(bx, ((0, 0), (0, padn)))
+    stereo_clamp = -1 if cfg.mode != "stereo" else int(camlr)
+    kernel = functools.partial(
+        _gn_kernel,
+        psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
+        max_iter=int(cfg.max_iter), min_iter=int(cfg.min_iter),
+        cost=int(cfg.cost), patch_norm=bool(cfg.patch_norm),
+        normoutlier=float(cfg.normoutlier),
+        dp_thresh_sq=float(cfg.dp_thresh) ** 2, dr_thresh=float(cfg.dr_thresh),
+        res_thresh=float(cfg.res_thresh),
+        outlier_sq=float(cfg.outlier_thresh) ** 2,
+        stereo_clamp=stereo_clamp,
+    )
+    p, pt, pw, conv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nop, n), jnp.float32),
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((c, psz, psz, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
+        interpret=_interpret(),
+    )(win, T, DX, DY, hes3, ptref, p_init, by, bx)
+    return (
+        p[:, :n0],
+        pt[:, :n0],
+        pw[..., :n0],
+        conv[0, :n0].astype(jnp.bool_),
+    )
 
 
 def _sor_scalar_kernel(du_ref, a11_ref, b1_ref, wh_ref, wv_ref, duo_ref,

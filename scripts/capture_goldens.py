@@ -49,6 +49,23 @@ def make_of_pair(rng):
     return img1.astype(np.uint8), img2.astype(np.uint8)
 
 
+def make_textured_pair(rng):
+    """High-frequency textured pair (checker + noise + edges) under the same
+    smooth warp — stresses parity where gradients are sharp, unlike the
+    smooth Gaussian fields of the main pair."""
+    yy, xx = np.mgrid[0 : H + 40, 0 : W + 40].astype(np.float32)
+    checker = (((yy // 9).astype(int) + (xx // 13).astype(int)) % 2) * 120.0
+    blobs = gaussian_filter(rng.rand(H + 40, W + 40).astype(np.float32), 6) * 400
+    noise = rng.rand(H + 40, W + 40).astype(np.float32) * 40
+    base = np.clip(checker + blobs % 130 + noise, 0, 255)
+    img1 = base[20 : 20 + H, 20 : 20 + W]
+    u = smooth_field(rng, H, W, 20, 5.0)
+    v = smooth_field(rng, H, W, 20, 4.0)
+    yy2, xx2 = np.mgrid[0:H, 0:W].astype(np.float32)
+    img2 = map_coordinates(base, [yy2 + v + 20, xx2 + u + 20], order=1)
+    return img1.astype(np.uint8), img2.astype(np.uint8), np.stack([u, v], -1)
+
+
 def make_de_pair(rng):
     """Rectified stereo pair, img1 = left camera: content shifts LEFT going
     left->right image, so the match for img1(x) is img2(x - d) with d in
@@ -94,11 +111,21 @@ def main():
     rng = np.random.RandomState(7)
     of1, of2 = make_of_pair(rng)
     de1, de2 = make_de_pair(np.random.RandomState(13))
+    tx1, tx2, tx_gt = make_textured_pair(np.random.RandomState(21))
 
     # cv2 writes BGR; store PNGs so cv::imread in the reference and our loader
     # see identical bytes.
     for name, img in [("of1.png", of1), ("of2.png", of2), ("de1.png", de1), ("de2.png", de2)]:
         cv2.imwrite(os.path.join(GOLD, name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    for name, img in [("tx1.png", tx1), ("tx2.png", tx2)]:
+        cv2.imwrite(os.path.join(GOLD, name), img)
+    # True flow of the textured pair: high-frequency content makes the raw
+    # (op1, no-TV) solution chaotic — equally-valid local minima differ
+    # between compilers — so tests score those cases against TRUTH.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from of_dis_tpu import io as of_io
+
+    of_io.write_flo(os.path.join(GOLD, "tx_gt.flo"), tx_gt)
 
     from of_dis_tpu.config import auto_first_scale
 
@@ -123,6 +150,9 @@ def main():
     run("de_int_op2", "run_DE_INT", "de1.png", "de2.png", ".pfm", ["2"])
     run("de_rgb_op2", "run_DE_RGB", "de1.png", "de2.png", ".pfm", ["2"])
     run("of_grad_op2", "run_OF_GRAD", "of1.png", "of2.png", ".flo", ["2"])
+    # Textured (high-gradient) content, op1 + op2.
+    run("of_tex_op1", "run_OF_INT", "tx1.png", "tx2.png", ".flo", ["1"])
+    run("of_tex_op2", "run_OF_INT", "tx1.png", "tx2.png", ".flo", ["2"])
 
     # Variant-3 explicit-parameter cases exercising features op points skip.
     for case, ov in [

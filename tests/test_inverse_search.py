@@ -221,3 +221,46 @@ def test_matmul_and_gather_extraction_agree(monkeypatch):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(res_mm.pweight), np.asarray(res_g.pweight),
                                rtol=5e-3, atol=5e-2)
+
+
+def test_pallas_gn_matches_xla(smooth_pair):
+    """The fused Pallas GN kernel (off by default; see pallas_kernels.py) is
+    numerically equivalent to the XLA path up to float reassociation."""
+    import jax.numpy as jnp
+
+    import of_dis_tpu.ops.pallas_kernels as pk
+    from of_dis_tpu import DISConfig
+    from of_dis_tpu.models.grid import level_geometry
+    from of_dis_tpu.models.inverse_search import build_templates, optimize_level
+    from of_dis_tpu.ops import pyramid as pyr
+
+    img1, img2, _ = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=False,
+    ).validate()
+    pad = cfg.patch_size
+    im1s, dx1s, dy1s = pyr.build_pyramid(jnp.asarray(img1[..., None]), 2, pad)
+    im2s, _, _ = pyr.build_pyramid(jnp.asarray(img2[..., None]), 2, pad)
+    sl = 1
+    lw, lh = img1.shape[1] >> sl, img1.shape[0] >> sl
+    geo = level_geometry(lw, lh, cfg)
+    ptr = jnp.asarray(geo.pt_ref)
+    tmpl = build_templates(im1s[sl], dx1s[sl], dy1s[sl], ptr, cfg, pad)
+    p0 = jnp.zeros((geo.n_patches, 2), jnp.float32)
+
+    old = pk.GN_PALLAS_MAX_BYTES
+    try:
+        pk.GN_PALLAS_MAX_BYTES = 6_000_000
+        r_pl = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
+        pk.GN_PALLAS_MAX_BYTES = 0
+        r_xla = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
+    finally:
+        pk.GN_PALLAS_MAX_BYTES = old
+    np.testing.assert_allclose(np.asarray(r_pl.p), np.asarray(r_xla.p), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_pl.pweight), np.asarray(r_xla.pweight), atol=5e-2
+    )
+    assert (
+        np.asarray(r_pl.converged) == np.asarray(r_xla.converged)
+    ).mean() > 0.99
