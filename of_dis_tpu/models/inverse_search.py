@@ -143,19 +143,6 @@ def build_templates(
     return PatchTemplates(tmp=tmp, dx=dx, dy=dy, hes=hes)
 
 
-def _solve_step(tmpl: PatchTemplates, pdiff: jnp.ndarray, nop: int) -> jnp.ndarray:
-    """delta_p = H^-1 (J^T pdiff) (patch.cpp:176-184)."""
-    b0 = jnp.sum(tmpl.dx * pdiff, axis=(1, 2, 3))
-    if nop == 2:
-        b1 = jnp.sum(tmpl.dy * pdiff, axis=(1, 2, 3))
-        h00, h01, h11 = tmpl.hes[:, 0], tmpl.hes[:, 1], tmpl.hes[:, 2]
-        det = h00 * h11 - h01 * h01
-        du = (h11 * b0 - h01 * b1) / det
-        dv = (h00 * b1 - h01 * b0) / det
-        return jnp.stack([du, dv], axis=1)
-    return (b0 / tmpl.hes[:, 0])[:, None]
-
-
 def _param_to_pt(pt_ref: jnp.ndarray, p: jnp.ndarray, nop: int) -> jnp.ndarray:
     """paramtopt (patch.cpp:214-221): flow moves (x, y); stereo moves x only."""
     if nop == 2:

@@ -2,17 +2,20 @@
 
 The reference extracts patches with pointer walks (patch.cpp:286-402).  The
 TPU-native formulation treats all N patches of a level as one batch and
-issues a single flat gather per extraction:
+fetches their windows gather-free where possible:
 
-  - integer windows for the template (getPatchStaticNNGrad, patch.cpp:286-332)
-  - a (psz+1)^2 window + constant 4-tap bilinear weights for the query patch
-    (getPatchStaticBil, patch.cpp:334-402).  The reference computes the taps
-    from ceil(x + 1e-5)/floor(x); since ceil(x+eps) == floor(x)+1 for all
-    inputs the optimizer produces, we use cx = floor(x)+1 directly.
+  - extract_int_matmul: integer template windows as one-hot MXU matmuls
+    (getPatchStaticNNGrad, patch.cpp:286-332), for small levels.
+  - gather_windows_rows: per-patch (sy, sx) search windows, patches-last.
+    Whole-row fetch (one-hot matmul on small levels / chunked row gather on
+    large ones) + two-stage one-hot column select.  Per-iteration bilinear
+    sampling inside these windows lives in models/inverse_search.py; the
+    reference computes taps from ceil(x + 1e-5)/floor(x), and since
+    ceil(x+eps) == floor(x)+1 for all inputs the optimizer produces, the
+    two-hot weights use cx = floor(x)+1 directly.
 
 Images are padded by `pad` on each side; the optimizer's bounds checks
-(patch.cpp:198-208) guarantee every window stays inside the padded array, so
-index clipping below only protects lanes that are already converged/masked.
+(patch.cpp:198-208) keep every window inside the padded array.
 """
 
 from __future__ import annotations
@@ -23,111 +26,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-def window_offsets(win: int, wp: int) -> jnp.ndarray:
-    """Static (win, win) flat offsets into a row-major (Hp, Wp) image."""
-    oy = np.arange(win, dtype=np.int64)[:, None]
-    ox = np.arange(win, dtype=np.int64)[None, :]
-    return jnp.asarray(oy * wp + ox, dtype=jnp.int32)
-
-
-def window_offsets_rect(wy: int, wx: int, wp: int) -> jnp.ndarray:
-    """Static (wy, wx) flat offsets into a row-major (Hp, Wp) image."""
-    oy = np.arange(wy, dtype=np.int64)[:, None]
-    ox = np.arange(wx, dtype=np.int64)[None, :]
-    return jnp.asarray(oy * wp + ox, dtype=jnp.int32)
-
-
-def gather_windows(
-    img_flat: jnp.ndarray,  # (Hp*Wp, C)
-    base_y: jnp.ndarray,    # (N,) int32, top row of window (padded coords)
-    base_x: jnp.ndarray,    # (N,) int32
-    offsets: jnp.ndarray,   # (win, win) flat offsets from window_offsets()
-    wp: int,
-) -> jnp.ndarray:
-    """Gather (N, win, win, C) windows from a flat padded image."""
-    base = base_y * wp + base_x  # (N,)
-    idx = base[:, None, None] + offsets[None]  # (N, win, win)
-    idx = jnp.clip(idx, 0, img_flat.shape[0] - 1)
-    return jnp.take(img_flat, idx, axis=0)
-
-
-def extract_int_windows(
-    img_flat: jnp.ndarray,
-    pt: jnp.ndarray,       # (N, 2) float (x, y) in unpadded coords
-    psz: int,
-    pad: int,
-    wp: int,
-    offsets: jnp.ndarray,
-) -> jnp.ndarray:
-    """Template-style extraction at round(pt) (patch.cpp:286-332).
-
-    Window spans offsets lb..ub = -psz/2..psz/2-1 around the rounded center.
-    """
-    lb = -(psz // 2)
-    # C's round() rounds half away from zero; grid centers are integers so
-    # floor(x + 0.5) is identical for all values that occur.
-    cy = jnp.floor(pt[:, 1] + 0.5).astype(jnp.int32) + pad + lb
-    cx = jnp.floor(pt[:, 0] + 0.5).astype(jnp.int32) + pad + lb
-    return gather_windows(img_flat, cy, cx, offsets, wp)
-
-
-def extract_bilinear_matmul(
-    img: jnp.ndarray,      # (Hp, Wp, C) padded level image
-    pt: jnp.ndarray,       # (N, 2) float query positions (unpadded coords)
-    psz: int,
-    pad: int,
-) -> jnp.ndarray:
-    """Bilinear patch extraction as two MXU matmuls (gather-free).
-
-    Bilinear interpolation with a constant per-patch weight vector is
-    separable: patch[p] = RY[p] @ img @ CX[p] where RY (psz x Hp) holds
-    (1-ry, ry) at rows fy+lb+j / +1 and CX (Wp x psz) holds (1-rx, rx) at
-    cols fx+lb+i / +1.  Equals the reference's 4-tap formula
-    (patch.cpp:334-402) up to float reassociation.  On TPU this replaces a
-    latency-bound element gather with dense matmuls — the MXU-native
-    formulation for small pyramid levels (use `extract_bilinear_windows`
-    for large ones, where one-hot FLOPs would dominate).
-    """
-    hp, wp, c = img.shape
-    n = pt.shape[0]
-    lb = -(psz // 2)
-    fx = jnp.floor(pt[:, 0])
-    fy = jnp.floor(pt[:, 1])
-    rx = (pt[:, 0] - fx).astype(img.dtype)
-    ry = (pt[:, 1] - fy).astype(img.dtype)
-    base_y = fy.astype(jnp.int32) + lb + pad  # row of the (1-ry) tap for j=0
-    base_x = fx.astype(jnp.int32) + lb + pad
-
-    y_ids = jnp.arange(hp, dtype=jnp.int32)[None, None, :]           # (1,1,Hp)
-    rows = base_y[:, None, None] + jnp.arange(psz, dtype=jnp.int32)[None, :, None]
-    ry3 = ry[:, None, None]
-    RY = jnp.where(y_ids == rows, 1.0 - ry3, 0.0) + jnp.where(
-        y_ids == rows + 1, ry3, 0.0
-    )  # (N, psz, Hp)
-
-    x_ids = jnp.arange(wp, dtype=jnp.int32)[None, :, None]           # (1,Wp,1)
-    cols = base_x[:, None, None] + jnp.arange(psz, dtype=jnp.int32)[None, None, :]
-    rx3 = rx[:, None, None]
-    CX = jnp.where(x_ids == cols, 1.0 - rx3, 0.0) + jnp.where(
-        x_ids == cols + 1, rx3, 0.0
-    )  # (N, Wp, psz)
-
-    # (N*psz, Hp) @ (Hp, Wp*C) -> (N, psz, Wp, C)
-    m1 = jnp.dot(
-        RY.reshape(n * psz, hp),
-        img.reshape(hp, wp * c),
-        preferred_element_type=jnp.float32,
-    ).reshape(n, psz, wp, c)
-    # contract x per patch: (p, j, x, c) x (p, x, i) -> (p, j, c, i)
-    out = jax.lax.dot_general(
-        m1,
-        CX,
-        dimension_numbers=((( 2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (N, psz, C, psz)
-    return jnp.transpose(out, (0, 1, 3, 2))  # (N, psz, psz, C)
 
 
 def extract_int_matmul(
@@ -240,40 +138,3 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
     sel = (kx == tx).astype(img.dtype)  # (Wp, sx, N)
     # (Wp, sx, 1, 1, N) * (Wp, 1, C, sy, N) -> sum ax 0 -> (sx, C, sy, N)
     return jnp.sum(sel[:, :, None, None, :] * band[:, None, :, :, :], axis=0)
-
-
-def extract_bilinear_windows(
-    img_flat: jnp.ndarray,
-    pt: jnp.ndarray,       # (N, 2) float query positions (unpadded coords)
-    psz: int,
-    pad: int,
-    wp: int,
-    offsets_p1: jnp.ndarray,  # (psz+1, psz+1) offsets
-) -> jnp.ndarray:
-    """Bilinear patch extraction (getPatchStaticBil, patch.cpp:334-402).
-
-    Returns (N, psz, psz, C).  Weight vector is constant per patch:
-      we0 = rx*ry       at (cy+j,   cx+i)
-      we1 = (1-rx)*ry   at (cy+j,   cx+i-1)
-      we2 = rx*(1-ry)   at (cy+j-1, cx+i)
-      we3 = (1-rx)(1-ry) at (cy+j-1, cx+i-1)
-    with cx = floor(x)+1 (== ceil(x+1e-5)), rx = x - floor(x).
-    """
-    lb = -(psz // 2)
-    fx = jnp.floor(pt[:, 0])
-    fy = jnp.floor(pt[:, 1])
-    rx = (pt[:, 0] - fx)[:, None, None, None]
-    ry = (pt[:, 1] - fy)[:, None, None, None]
-    base_x = fx.astype(jnp.int32) + 1 + lb - 1 + pad
-    base_y = fy.astype(jnp.int32) + 1 + lb - 1 + pad
-    w = gather_windows(img_flat, base_y, base_x, offsets_p1, wp)  # (N, psz+1, psz+1, C)
-    w00 = rx * ry
-    w01 = (1.0 - rx) * ry
-    w10 = rx * (1.0 - ry)
-    w11 = (1.0 - rx) * (1.0 - ry)
-    return (
-        w00 * w[:, 1:, 1:]
-        + w01 * w[:, 1:, :-1]
-        + w10 * w[:, :-1, 1:]
-        + w11 * w[:, :-1, :-1]
-    )
