@@ -100,8 +100,9 @@ DERIV3 = (-0.5, 0.0, 0.5)
 
 # Use the gather-free matmul warp while its vertical-phase FLOPs
 # (2 * h*w * h*w * C) stay under this budget; element gathers cost ~10 ns/el
-# on TPU so the MXU path wins by ~20x at typical finest-level sizes.
-WARP_MATMUL_MAX_FLOPS = int(os.environ.get("OF_DIS_WARP_MATMUL_MAX_FLOPS", 400_000_000))
+# on TPU so the MXU path wins up to ~3e10 FLOPs (a 224x512 level: 26 GFLOP
+# matmul ~5 ms vs ~20 ms gather at batch 4).
+WARP_MATMUL_MAX_FLOPS = int(os.environ.get("OF_DIS_WARP_MATMUL_MAX_FLOPS", 30_000_000_000))
 
 
 def _warp_coords(src, wx, wy):

@@ -108,10 +108,50 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
         band = jnp.dot(
             img.reshape(hp, wp * c).T, R, preferred_element_type=jnp.float32
         ).reshape(wp, c, sy, n)  # (Wp, C, sy, N)
+    elif sx <= 31 and wp > 256:
+        # Wide level: gather 2 covering 32-px segments per window row
+        # instead of full rows — 2x the row count but Wp/64x less data, and
+        # no full-width band ever materializes (the band transpose copy
+        # dominated the op3/op4 window build).
+        seg = 32
+        nseg = -(-wp // seg) + 1
+        imgp = jnp.pad(img, ((0, 0), (0, nseg * seg - wp), (0, 0)))
+        segv = imgp.reshape(hp * nseg, seg * c)
+        seg0 = bx // seg
+        idx = (
+            (by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :])[:, :, None] * nseg
+            + seg0[:, None, None]
+            + jnp.arange(2, dtype=jnp.int32)[None, None, :]
+        )  # (N, sy, 2)
+        band = jnp.take(segv, idx.reshape(-1), axis=0)
+        band = band.reshape(n, sy, 2 * seg, c).transpose(2, 3, 1, 0)  # (64, C, sy, N)
+        bx = bx - seg0 * seg  # in [0, 32)
+        wp = 64
     else:
         rows = by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]  # (N, sy)
         band = jnp.take(img.reshape(hp, wp * c), rows.reshape(-1), axis=0)
-        band = band.reshape(n, sy, wp, c).transpose(2, 3, 1, 0)  # (Wp, C, sy, N)
+        if sx <= 31 and wp > 64:
+            # Coarse segment select BEFORE the patches-last transpose: the
+            # transpose then moves 64/Wp of the bytes (the full-band copy
+            # dominated the op3/op4 window build).
+            nseg = -(-wp // 32)
+            bv = band.reshape(n, sy, wp, c)
+            if nseg * 32 != wp:
+                bv = jnp.pad(bv, ((0, 0), (0, 0), (0, nseg * 32 - wp), (0, 0)))
+            bv = bv.reshape(n, sy, nseg, 32 * c)
+            seg0 = bx // 32
+            segs = jnp.arange(nseg, dtype=jnp.int32)[None, :, None]
+            tseg = seg0[:, None, None] + jnp.arange(2, dtype=jnp.int32)[None, None, :]
+            sel1 = (segs == tseg).astype(img.dtype)  # (N, nseg, 2)
+            # (N, sy, nseg, 1, 32C) * (N, 1, nseg, 2, 1) -> sum ax 2
+            coarse = jnp.sum(
+                bv[:, :, :, None, :] * sel1[:, None, :, :, None], axis=2
+            )  # (N, sy, 2, 32C)
+            band = coarse.reshape(n, sy, 64, c).transpose(2, 3, 1, 0)  # (64, C, sy, N)
+            bx = bx - seg0 * 32  # in [0, 32)
+            wp = 64
+        else:
+            band = band.reshape(n, sy, wp, c).transpose(2, 3, 1, 0)  # (Wp, C, sy, N)
 
     if sx <= 31 and wp > 64:
         # Two-stage column select: pick the 2 covering 32-wide segments with
