@@ -94,7 +94,9 @@ def main():
         # op3/op4 reach fine levels with 10-50k patches; smaller batches keep
         # the window working set in HBM (reference runtimes there are
         # 200-2700 ms/pair, so queueing matters less).
-        shape = {1: (16, 32, 3), 2: (16, 32, 3), 3: (4, 8, 2), 4: (2, 3, 1)}
+        # Measured sweet spots: op3 degrades above B=4 (VMEM pressure);
+        # op4 gains ~20% at B=4 over B=2 (sublane packing).
+        shape = {1: (16, 32, 3), 2: (16, 32, 3), 3: (4, 8, 2), 4: (4, 2, 1)}
         for op in (1, 2, 3, 4):
             B, nq, reps = shape[op]
             cfg = operating_point(op, W)
