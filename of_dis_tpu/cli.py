@@ -28,7 +28,7 @@ from .models.dis import dis_raw
 from .utils.timing import StageTimer
 
 
-def _cfg_from_params(params, width: int, mode: str, channels: int) -> DISConfig:
+def _cfg_from_params(params, width: int, mode: str, channels: int, camlr: int = 0) -> DISConfig:
     """The 20 explicit positional parameters (run_dense.cpp:269-294)."""
     if len(params) != 20:
         raise SystemExit(f"--params needs exactly 20 values, got {len(params)}")
@@ -36,6 +36,7 @@ def _cfg_from_params(params, width: int, mode: str, channels: int) -> DISConfig:
     return DISConfig(
         mode=mode,
         channels=channels,
+        camlr=camlr,
         sc_f=int(p[0]),
         sc_l=int(p[1]),
         max_iter=int(p[2]),
@@ -92,8 +93,8 @@ def main(argv=None) -> int:
             f"of-dis: input images differ in size: {img1.shape[:2]} vs {img2.shape[:2]}"
         )
 
-    if args.params:
-        cfg = _cfg_from_params(args.params, img1.shape[1], mode, channels)
+    if args.params is not None:
+        cfg = _cfg_from_params(args.params, img1.shape[1], mode, channels, args.camlr)
     else:
         cfg = operating_point(args.op, img1.shape[1], mode=mode, channels=channels,
                               verbosity=args.verbosity, camlr=args.camlr)

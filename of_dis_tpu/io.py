@@ -110,6 +110,32 @@ def _bgr_to_gray_u8(img: np.ndarray) -> np.ndarray:
     return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
 
 
+def _read_pnm_numpy(path) -> np.ndarray:
+    """Binary P5/P6 PNM reader (NumPy fallback for native.read_pnm)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    tokens = []
+    i = 0
+    while len(tokens) < 4 and i < len(data):
+        if data[i : i + 1] == b"#":  # comment to end of line
+            i = data.index(b"\n", i) + 1
+            continue
+        if data[i : i + 1].isspace():
+            i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P5", b"P6") or maxval > 255:
+        raise ValueError(f"unsupported PNM {magic!r} maxval={maxval} in {path}")
+    c = 1 if magic == b"P5" else 3
+    pix = np.frombuffer(data[i + 1 :], dtype=np.uint8, count=w * h * c)
+    return pix.reshape(h, w, c).copy()
+
+
 def load_image(path, channels: int = 1) -> np.ndarray:
     """Load an image as float32 (H, W, channels), channels in {1, 3}.
 
@@ -121,6 +147,12 @@ def load_image(path, channels: int = 1) -> np.ndarray:
     path = Path(path)
     if path.suffix == ".npy":
         arr = np.load(path)
+    elif path.suffix in (".pgm", ".ppm", ".pnm") :
+        from . import native
+
+        arr = native.read_pnm(path) if native.available() else None
+        if arr is None:
+            arr = _read_pnm_numpy(path)
     else:
         arr = None
         try:
@@ -135,7 +167,7 @@ def load_image(path, channels: int = 1) -> np.ndarray:
             except ImportError as e:
                 raise RuntimeError(
                     f"cannot decode {path}: neither PIL nor imageio available; "
-                    "use .npy input instead"
+                    "use .npy/.pgm/.ppm input instead"
                 ) from e
     if arr.ndim == 2:
         arr = arr[..., None]

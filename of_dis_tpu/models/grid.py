@@ -27,9 +27,7 @@ class LevelGeometry(NamedTuple):
     noph: int
     n_patches: int
     pt_ref: np.ndarray        # (N, 2) float32 patch centers (x, y)
-    agg_idx: np.ndarray       # (N, psz*psz) int32 flat pixel index (clipped)
-    agg_mask: np.ndarray      # (N, psz*psz) float32 1 inside image else 0
-    coarse_idx: np.ndarray    # (N,) int32 flat index into the (h/2, w/2) coarser flow
+    coarse_idx: np.ndarray    # (N,) int32 flat index into the (h//2, w//2) coarser flow
 
 
 def _grid_centers(w: int, h: int, steps: int) -> tuple[int, int, np.ndarray]:
@@ -51,20 +49,16 @@ def _grid_centers(w: int, h: int, steps: int) -> tuple[int, int, np.ndarray]:
 def _level_geometry_cached(w: int, h: int, steps: int, psz: int) -> LevelGeometry:
     nopw, noph, pt_ref = _grid_centers(w, h, steps)
     n = pt_ref.shape[0]
-    lb = -(psz // 2)
-    offs = np.arange(lb, lb + psz)
-    oy, ox = np.meshgrid(offs, offs, indexing="ij")  # rows j, cols i
-    # Footprint pixels per patch (AggregateFlowDense, patchgrid.cpp:241-251):
-    # the pweight walk order is (j rows, i cols) row-major, matching (psz, psz).
-    yt = pt_ref[:, 1].astype(np.int64)[:, None] + oy.ravel()[None, :]
-    xt = pt_ref[:, 0].astype(np.int64)[:, None] + ox.ravel()[None, :]
-    valid = (xt >= 0) & (yt >= 0) & (xt < w) & (yt < h)
-    flat = np.clip(yt, 0, h - 1) * w + np.clip(xt, 0, w - 1)
     # Coarser-init lookup (InitializeFromCoarserOF, patchgrid.cpp:195-211):
-    # p_init = 2 * flow_prev[floor(y/2) * (w/2) + floor(x/2)].
-    cx = (pt_ref[:, 0] // 2).astype(np.int64)
-    cy = (pt_ref[:, 1] // 2).astype(np.int64)
-    coarse_idx = cy * (w // 2) + cx
+    # p_init = 2 * flow_prev[floor(y/2) * (w//2) + floor(x/2)].  When a level
+    # dimension is odd (possible at the coarsest level, whose init-flow grid
+    # is floor-halved — oflow.cpp:32-35 only guarantees divisibility by
+    # 2^sc_f), floor(x/2) can equal w//2 and must clamp to the last column
+    # instead of silently wrapping into the next row.
+    cw, ch = max(w // 2, 1), max(h // 2, 1)
+    cx = np.minimum((pt_ref[:, 0] // 2).astype(np.int64), cw - 1)
+    cy = np.minimum((pt_ref[:, 1] // 2).astype(np.int64), ch - 1)
+    coarse_idx = cy * cw + cx
     return LevelGeometry(
         w=w,
         h=h,
@@ -72,8 +66,6 @@ def _level_geometry_cached(w: int, h: int, steps: int, psz: int) -> LevelGeometr
         noph=noph,
         n_patches=n,
         pt_ref=pt_ref,
-        agg_idx=flat.astype(np.int32),
-        agg_mask=valid.astype(np.float32),
         coarse_idx=coarse_idx.astype(np.int32),
     )
 

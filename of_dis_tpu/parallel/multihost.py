@@ -49,9 +49,16 @@ def init_distributed(
     before any other JAX call.  No-op when the environment indicates a
     single process.
     """
-    n_workers = len([h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h])
+    # TPU_WORKER_HOSTNAMES can hold a WARNING sentence on single-host axon
+    # images (see CLAUDE.md); only count comma-separated tokens that look
+    # like hostnames/IPs (no whitespace).
+    workers = [
+        t.strip()
+        for t in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+        if t.strip() and " " not in t.strip()
+    ]
     n = num_processes if num_processes is not None else max(
-        int(os.environ.get("JAX_NUM_PROCESSES", "1")), n_workers
+        int(os.environ.get("JAX_NUM_PROCESSES", "1")), len(workers)
     )
     if coordinator_address is None and n <= 1:
         return  # single host, nothing to initialize

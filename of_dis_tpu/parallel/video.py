@@ -59,9 +59,12 @@ def process_video(
     prev_flow: Optional[np.ndarray] = None
 
     for i in range(len(frames) - 1):
-        out_path = out_dir / f"flow_{i:06d}.flo"
+        if cfg.mode == "flow":
+            out_path = out_dir / f"flow_{i:06d}.flo"
+        else:
+            out_path = out_dir / f"disp_{i:06d}.pfm"
         if i <= done and out_path.exists():
-            if warm_start:
+            if warm_start and cfg.mode == "flow":
                 prev_flow = io.read_flo(out_path)
             yield i, out_path
             continue
@@ -74,7 +77,6 @@ def process_video(
         if cfg.mode == "flow":
             io.write_flo(out_path, flow)
         else:
-            out_path = out_dir / f"disp_{i:06d}.pfm"
             io.write_pfm(out_path, flow[..., 0])
         prev_flow = flow
         ckpt.write_text(json.dumps({"last_completed": i}))

@@ -60,3 +60,61 @@ def test_flow_to_color_shapes():
     assert c.shape == (8, 9, 3) and c.dtype == np.uint8
     g = disparity_to_gray(-np.abs(np.random.rand(8, 9)))
     assert g.shape == (8, 9) and g.dtype == np.uint8
+
+
+def test_coarse_idx_odd_level_in_bounds():
+    """floor-halved init grids at odd level dims must clamp, not wrap
+    (review finding: KITTI-width coarsest levels overflowed the grid)."""
+    from of_dis_tpu import DISConfig
+    from of_dis_tpu.models.grid import level_geometry
+
+    cfg = DISConfig(mode="flow", channels=1, sc_f=1, sc_l=0).validate()
+    geo = level_geometry(39, 19, cfg)  # odd level dims
+    assert geo.coarse_idx.max() < (39 // 2) * (19 // 2) + (39 // 2)
+    assert geo.coarse_idx.max() < (19 // 2) * (39 // 2)  # cy*cw+cx < ch*cw
+
+
+def test_pnm_load_roundtrip(tmp_path):
+    """P5/P6 loading via the native codec (NumPy fallback included)."""
+    import numpy as np
+
+    from of_dis_tpu import io
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 255, (10, 12), np.uint8)
+    p5 = tmp_path / "g.pgm"
+    p5.write_bytes(b"P5\n# comment\n12 10\n255\n" + gray.tobytes())
+    out = io.load_image(p5, 1)
+    np.testing.assert_array_equal(out[..., 0].astype(np.uint8), gray)
+
+    rgb = rng.randint(0, 255, (10, 12, 3), np.uint8)
+    p6 = tmp_path / "c.ppm"
+    p6.write_bytes(b"P6\n12 10\n255\n" + rgb.tobytes())
+    out3 = io.load_image(p6, 3)
+    np.testing.assert_array_equal(out3.astype(np.uint8), rgb)
+
+
+def test_video_stereo_resume(tmp_path):
+    """Stereo checkpoint/resume must skip completed .pfm outputs
+    (review finding: the skip check looked for .flo names)."""
+    import numpy as np
+
+    from of_dis_tpu import DISConfig
+    from of_dis_tpu.parallel.video import process_video
+
+    rng = np.random.RandomState(0)
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(rng.rand(40, 64) * 255, 2.0).astype(np.float32)
+    frames = [base[:, 3:-3], base[:, 6:], base[:, :-6]]
+    cfg = DISConfig(
+        mode="stereo", channels=1, sc_f=1, sc_l=0, max_iter=2, min_iter=2,
+        use_tv_refine=False,
+    ).validate()
+    loader = lambda a: a
+    outs1 = list(process_video(frames, tmp_path, cfg, loader=loader, warm_start=False))
+    assert all(p.suffix == ".pfm" for _, p in outs1)
+    mtimes = {p: p.stat().st_mtime_ns for _, p in outs1}
+    outs2 = list(process_video(frames, tmp_path, cfg, loader=loader, warm_start=False))
+    for _, p in outs2:
+        assert p.stat().st_mtime_ns == mtimes[p], "completed pair was recomputed"
