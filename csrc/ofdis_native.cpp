@@ -124,8 +124,17 @@ int ofdis_read_pfm(const char* path, float* out, int32_t w, int32_t h,
     ok = std::fread(dst, sizeof(float), w, f) == (size_t)w;
   }
   std::fclose(f);
+  size_t n = (size_t)w * h;
+  if (scale > 0.0f) {
+    // positive scale marks big-endian pixel data (PFM spec)
+    for (size_t i = 0; i < n; ++i) {
+      uint32_t v;
+      std::memcpy(&v, out + i, 4);
+      v = __builtin_bswap32(v);
+      std::memcpy(out + i, &v, 4);
+    }
+  }
   if (negate) {
-    size_t n = (size_t)w * h;
     for (size_t i = 0; i < n; ++i) out[i] = -out[i];
   }
   return ok ? 0 : -3;

@@ -32,10 +32,9 @@ def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("OF_DIS_NATIVE", "1") == "0":
         return None
     try:
-        if not _SO.exists():
-            subprocess.run(
-                ["make", "-C", str(_CSRC)], check=True, capture_output=True
-            )
+        # Always invoke make (a no-op when up to date): loading a stale .so
+        # after editing csrc/ would silently run old code.
+        subprocess.run(["make", "-C", str(_CSRC)], check=True, capture_output=True)
         lib = ctypes.CDLL(str(_SO))
     except Exception:
         return None

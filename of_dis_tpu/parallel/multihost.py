@@ -20,7 +20,6 @@ the driver's dry run (__graft_entry__.dryrun_multichip).
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import jax
@@ -29,12 +28,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DISConfig
-from ..models.densify import _abs_weights
-from ..models.dis import _level_flow
-from ..models.grid import level_geometry
-from ..models.inverse_search import build_templates, optimize_level
 from ..ops import pyramid as pyr
-from .spatial import _refine_level_sharded
+from .spatial import _pair_manual
 
 
 def init_distributed(
@@ -82,95 +77,6 @@ def mesh_2d(n_data: Optional[int] = None, n_tx: int = 1, devices=None) -> Mesh:
     if n_data * n_tx > devs.size:
         raise ValueError(f"mesh {n_data}x{n_tx} needs {n_data*n_tx} devices, have {devs.size}")
     return Mesh(devs[: n_data * n_tx].reshape(n_data, n_tx), ("data", "tx"))
-
-
-def _level_manual(im_a, dx_a, dy_a, im_b, flow_prev, sl, w, h, cfg, axis):
-    """One pyramid level inside a manual (shard_map) region: patch shard ->
-    psum densify -> strip refinement -> all_gather.  Mirrors
-    spatial.spatial_flow_level's body but is callable from ANY shard_map
-    whose mesh has `axis` (e.g. the 2-D (data, tx) mesh)."""
-    rank = jax.lax.axis_index(axis)
-    ntx = int(jax.lax.axis_size(axis))  # static under shard_map
-    pad = cfg.patch_size
-    geo = level_geometry(w, h, cfg)
-    n = geo.n_patches
-
-    if flow_prev is None:
-        p_init_full = jnp.zeros((n, cfg.nop), jnp.float32)
-    else:
-        p_init_full = 2.0 * flow_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
-    pt_full = jnp.asarray(geo.pt_ref)
-
-    # Local patch shard (pad to a multiple of the axis size; padded lanes
-    # have far-out-of-bounds centers, so they start converged and inert).
-    npad = (-n) % ntx
-    if npad:
-        pt_full = jnp.concatenate([pt_full, jnp.full((npad, 2), -1e6, jnp.float32)])
-        p_init_full = jnp.pad(p_init_full, ((0, npad), (0, 0)))
-    k = (n + npad) // ntx
-    pt_shard = jax.lax.dynamic_slice_in_dim(pt_full, rank * k, k, axis=0)
-    p_init = jax.lax.dynamic_slice_in_dim(p_init_full, rank * k, k, axis=0)
-
-    tmpl = build_templates(im_a, dx_a, dy_a, pt_shard, cfg, pad)
-    res = optimize_level(im_b, tmpl, pt_shard, p_init, cfg, w, h, pad)
-
-    # Per-device densification into a full-size accumulator + psum
-    # (deterministic; replaces the reference's racy OpenMP scatter).
-    lb = -(pad // 2)
-    offs = jnp.arange(lb, lb + cfg.patch_size, dtype=jnp.int32)
-    oy = jnp.repeat(offs, cfg.patch_size)
-    ox = jnp.tile(offs, cfg.patch_size)
-    yt = pt_shard[:, 1].astype(jnp.int32)[:, None] + oy[None, :]
-    xt = pt_shard[:, 0].astype(jnp.int32)[:, None] + ox[None, :]
-    valid = ((xt >= 0) & (yt >= 0) & (xt < w) & (yt < h)).astype(jnp.float32)
-    idxm = jnp.clip(yt, 0, h - 1) * w + jnp.clip(xt, 0, w - 1)
-    absw = _abs_weights(res.pweight, cfg) * valid
-    we = jnp.zeros((w * h,), jnp.float32).at[idxm.ravel()].add(absw.ravel())
-    contrib = absw[:, :, None] * res.p[:, None, :]
-    fo = jnp.zeros((w * h, cfg.nop), jnp.float32).at[idxm.ravel()].add(
-        contrib.reshape(-1, cfg.nop)
-    )
-    we = jax.lax.psum(we, axis)
-    fo = jax.lax.psum(fo, axis)
-    safe = jnp.where(we > 0, we, 1.0)
-    flow = jnp.where((we > 0)[:, None], fo / safe[:, None], 0.0).reshape(h, w, cfg.nop)
-
-    if cfg.use_tv_refine:
-        wl = w // ntx
-        strip = jax.lax.dynamic_slice_in_dim(flow, rank * wl, wl, axis=1)
-        raw1 = im_a[pad:-pad, pad:-pad]
-        raw2 = im_b[pad:-pad, pad:-pad]
-        raw1_strip = jax.lax.dynamic_slice_in_dim(raw1, rank * wl, wl, axis=1)
-        strip = _refine_level_sharded(strip, raw1_strip, raw2, sl, cfg, axis)
-        flow = jax.lax.all_gather(strip, axis, axis=1, tiled=True)
-    return flow
-
-
-def _pair_manual(img1p, img2p, cfg, axis):
-    """Coarse-to-fine flow for one padded pair inside a manual region.
-
-    Level images are replicated over `axis` (they are small); levels whose
-    width divides the axis run sharded, others run replicated."""
-    h, w = img1p.shape[:2]
-    pad = cfg.patch_size
-    ntx = int(jax.lax.axis_size(axis))
-    im1s, dx1s, dy1s = pyr.build_pyramid(img1p, cfg.sc_f + 1, pad)
-    im2s, dx2s, dy2s = pyr.build_pyramid(img2p, cfg.sc_f + 1, pad)
-    flow = None
-    for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
-        lw, lh = w >> sl, h >> sl
-        if lw % ntx == 0 and lw >= 2 * ntx and cfg.mode == "flow":
-            flow = _level_manual(
-                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], flow, sl, lw, lh, cfg, axis
-            )
-        else:
-            raw1 = im1s[sl][pad:-pad, pad:-pad]
-            raw2 = im2s[sl][pad:-pad, pad:-pad]
-            flow, _ = _level_flow(
-                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], dx2s[sl], dy2s[sl],
-                flow, None, sl, lw, lh, cfg, raw1, raw2,
-            )
-    return flow
 
 
 def flow_2d(

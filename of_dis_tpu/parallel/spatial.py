@@ -32,11 +32,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DISConfig
 from ..models import refine as rf
-from ..models.densify import aggregate_flow_dense
+from ..models.densify import _abs_weights
+from ..models.dis import _level_flow
 from ..models.grid import level_geometry
 from ..models.inverse_search import build_templates, optimize_level
 from ..ops import pyramid as pyr
@@ -245,89 +246,93 @@ def _refine_level_sharded(flow_strip, im1_strip, im2_full, level, cfg, axis):
 # Sharded level pipeline: patch shard -> psum densify -> strip refine
 # ---------------------------------------------------------------------------
 
-def _pad_patches(n: int, ntx: int) -> int:
-    return (-n) % ntx
-
-
-def spatial_flow_level(
-    im_a, dx_a, dy_a, im_b,
-    flow_prev: Optional[jnp.ndarray],
-    sl: int, w: int, h: int,
-    cfg: DISConfig, mesh: Mesh, axis: str = "tx",
-):
-    """One pyramid level sharded over mesh axis `axis`.
-
-    Level images are replicated; the patch axis is sharded for the search;
-    densification psums per-device accumulators; refinement runs on column
-    strips with halo exchange.
-    """
-    ntx = mesh.shape[axis]
-    if w % ntx:
-        raise ValueError(f"level width {w} not divisible by mesh axis {ntx}")
+def _level_manual(im_a, dx_a, dy_a, im_b, flow_prev, sl, w, h, cfg, axis):
+    """One pyramid level inside a manual (shard_map) region: patch shard ->
+    psum densify -> strip refinement -> all_gather.  Mirrors
+    the per-device level body, callable from ANY shard_map
+    whose mesh has `axis` (e.g. the 2-D (data, tx) mesh)."""
+    rank = jax.lax.axis_index(axis)
+    ntx = int(jax.lax.axis_size(axis))  # static under shard_map
     pad = cfg.patch_size
-    wp = w + 2 * pad
-    c = cfg.channels
     geo = level_geometry(w, h, cfg)
     n = geo.n_patches
-    npad = _pad_patches(n, ntx)
-
-    pt_ref = np.concatenate([geo.pt_ref, np.full((npad, 2), -1e6, np.float32)]) \
-        if npad else geo.pt_ref  # padded lanes go out of bounds -> inert
-    pt_ref = jnp.asarray(pt_ref)
 
     if flow_prev is None:
-        p_init = jnp.zeros((n + npad, cfg.nop), jnp.float32)
+        p_init_full = jnp.zeros((n, cfg.nop), jnp.float32)
     else:
-        p0 = 2.0 * flow_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
-        p_init = jnp.pad(p0, ((0, npad), (0, 0)))
+        p_init_full = 2.0 * flow_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
+    pt_full = jnp.asarray(geo.pt_ref)
 
-    raw1 = im_a[pad:-pad, pad:-pad]
-    raw2 = im_b[pad:-pad, pad:-pad]
+    # Local patch shard (pad to a multiple of the axis size; padded lanes
+    # have far-out-of-bounds centers, so they start converged and inert).
+    npad = (-n) % ntx
+    if npad:
+        pt_full = jnp.concatenate([pt_full, jnp.full((npad, 2), -1e6, jnp.float32)])
+        p_init_full = jnp.pad(p_init_full, ((0, npad), (0, 0)))
+    k = (n + npad) // ntx
+    pt_shard = jax.lax.dynamic_slice_in_dim(pt_full, rank * k, k, axis=0)
+    p_init = jax.lax.dynamic_slice_in_dim(p_init_full, rank * k, k, axis=0)
 
-    def level_fn(im_a_l, dx_a_l, dy_a_l, im_b_l, pt_shard, p_init_shard, raw1_strip, raw2_full):
-        tmpl = build_templates(im_a_l, dx_a_l, dy_a_l, pt_shard, cfg, pad)
-        res = optimize_level(im_b_l, tmpl, pt_shard, p_init_shard, cfg, w, h, pad)
-        # Per-device densification into a full-size accumulator + psum.
-        # Reuses the single-device kernel with a per-shard geometry view.
-        from ..models.densify import _abs_weights
+    tmpl = build_templates(im_a, dx_a, dy_a, pt_shard, cfg, pad)
+    res = optimize_level(im_b, tmpl, pt_shard, p_init, cfg, w, h, pad)
 
-        lb = -(pad // 2)
-        offs = jnp.arange(lb, lb + cfg.patch_size, dtype=jnp.int32)
-        oy = jnp.repeat(offs, cfg.patch_size)
-        ox = jnp.tile(offs, cfg.patch_size)
-        yt = pt_shard[:, 1].astype(jnp.int32)[:, None] + oy[None, :]
-        xt = pt_shard[:, 0].astype(jnp.int32)[:, None] + ox[None, :]
-        valid = ((xt >= 0) & (yt >= 0) & (xt < w) & (yt < h)).astype(jnp.float32)
-        idxm = jnp.clip(yt, 0, h - 1) * w + jnp.clip(xt, 0, w - 1)
-        absw = _abs_weights(res.pweight, cfg) * valid
-        we = jnp.zeros((w * h,), jnp.float32).at[idxm.ravel()].add(absw.ravel())
-        contrib = absw[:, :, None] * res.p[:, None, :]
-        fo = jnp.zeros((w * h, cfg.nop), jnp.float32).at[idxm.ravel()].add(
-            contrib.reshape(-1, cfg.nop)
-        )
-        we = jax.lax.psum(we, axis)
-        fo = jax.lax.psum(fo, axis)
-        safe = jnp.where(we > 0, we, 1.0)
-        flow = jnp.where((we > 0)[:, None], fo / safe[:, None], 0.0).reshape(h, w, cfg.nop)
-
-        if cfg.use_tv_refine:
-            idx = jax.lax.axis_index(axis)
-            wl = w // ntx
-            strip = jax.lax.dynamic_slice_in_dim(flow, idx * wl, wl, axis=1)
-            strip = _refine_level_sharded(strip, raw1_strip, raw2_full, sl, cfg, axis)
-            return strip
-        idx = jax.lax.axis_index(axis)
-        wl = w // ntx
-        return jax.lax.dynamic_slice_in_dim(flow, idx * wl, wl, axis=1)
-
-    fn = jax.shard_map(
-        level_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(None, axis), P()),
-        out_specs=P(None, axis),
-        check_vma=False,
+    # Per-device densification into a full-size accumulator + psum
+    # (deterministic; replaces the reference's racy OpenMP scatter).
+    lb = -(pad // 2)
+    offs = jnp.arange(lb, lb + cfg.patch_size, dtype=jnp.int32)
+    oy = jnp.repeat(offs, cfg.patch_size)
+    ox = jnp.tile(offs, cfg.patch_size)
+    yt = pt_shard[:, 1].astype(jnp.int32)[:, None] + oy[None, :]
+    xt = pt_shard[:, 0].astype(jnp.int32)[:, None] + ox[None, :]
+    valid = ((xt >= 0) & (yt >= 0) & (xt < w) & (yt < h)).astype(jnp.float32)
+    idxm = jnp.clip(yt, 0, h - 1) * w + jnp.clip(xt, 0, w - 1)
+    absw = _abs_weights(res.pweight, cfg) * valid
+    we = jnp.zeros((w * h,), jnp.float32).at[idxm.ravel()].add(absw.ravel())
+    contrib = absw[:, :, None] * res.p[:, None, :]
+    fo = jnp.zeros((w * h, cfg.nop), jnp.float32).at[idxm.ravel()].add(
+        contrib.reshape(-1, cfg.nop)
     )
-    return fn(im_a, dx_a, dy_a, im_b, pt_ref, p_init, raw1, raw2)
+    we = jax.lax.psum(we, axis)
+    fo = jax.lax.psum(fo, axis)
+    safe = jnp.where(we > 0, we, 1.0)
+    flow = jnp.where((we > 0)[:, None], fo / safe[:, None], 0.0).reshape(h, w, cfg.nop)
+
+    if cfg.use_tv_refine:
+        wl = w // ntx
+        strip = jax.lax.dynamic_slice_in_dim(flow, rank * wl, wl, axis=1)
+        raw1 = im_a[pad:-pad, pad:-pad]
+        raw2 = im_b[pad:-pad, pad:-pad]
+        raw1_strip = jax.lax.dynamic_slice_in_dim(raw1, rank * wl, wl, axis=1)
+        strip = _refine_level_sharded(strip, raw1_strip, raw2, sl, cfg, axis)
+        flow = jax.lax.all_gather(strip, axis, axis=1, tiled=True)
+    return flow
+
+
+def _pair_manual(img1p, img2p, cfg, axis):
+    """Coarse-to-fine flow for one padded pair inside a manual region.
+
+    Level images are replicated over `axis` (they are small); levels whose
+    width divides the axis run sharded, others run replicated."""
+    h, w = img1p.shape[:2]
+    pad = cfg.patch_size
+    ntx = int(jax.lax.axis_size(axis))
+    im1s, dx1s, dy1s = pyr.build_pyramid(img1p, cfg.sc_f + 1, pad)
+    im2s, dx2s, dy2s = pyr.build_pyramid(img2p, cfg.sc_f + 1, pad)
+    flow = None
+    for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
+        lw, lh = w >> sl, h >> sl
+        if lw % ntx == 0 and lw >= 2 * ntx and cfg.mode == "flow":
+            flow = _level_manual(
+                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], flow, sl, lw, lh, cfg, axis
+            )
+        else:
+            raw1 = im1s[sl][pad:-pad, pad:-pad]
+            raw2 = im2s[sl][pad:-pad, pad:-pad]
+            flow, _ = _level_flow(
+                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], dx2s[sl], dy2s[sl],
+                flow, None, sl, lw, lh, cfg, raw1, raw2,
+            )
+    return flow
 
 
 def spatial_flow(
@@ -339,33 +344,21 @@ def spatial_flow(
 ) -> jnp.ndarray:
     """Coarse-to-fine flow for ONE pair, sharded spatially over `axis`.
 
-    Falls back to replicated execution at coarse levels whose width is not
-    divisible by the mesh (their cost is negligible).
+    One shard_map over the whole pipeline (_pair_manual): levels whose width
+    divides the mesh run patch-sharded with psum densification and column-
+    strip refinement; coarse levels fall back to replicated execution (their
+    cost is negligible).
     """
-    from ..models.dis import _level_flow
-
     if img1.ndim == 2:
         img1, img2 = img1[..., None], img2[..., None]
     h, w = img1.shape[:2]
     if w % (1 << cfg.sc_f) or h % (1 << cfg.sc_f):
         raise ValueError("inputs must be padded to divisibility by 2^sc_f")
-    ntx = mesh.shape[axis]
-    pad = cfg.patch_size
-    im1s, dx1s, dy1s = pyr.build_pyramid(img1, cfg.sc_f + 1, pad)
-    im2s, dx2s, dy2s = pyr.build_pyramid(img2, cfg.sc_f + 1, pad)
-
-    flow = None
-    for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
-        lw, lh = w >> sl, h >> sl
-        if lw % ntx == 0 and lw >= 2 * ntx and cfg.mode == "flow":
-            flow = spatial_flow_level(
-                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], flow, sl, lw, lh, cfg, mesh, axis
-            )
-        else:
-            raw1 = im1s[sl][pad:-pad, pad:-pad]
-            raw2 = im2s[sl][pad:-pad, pad:-pad]
-            flow, _ = _level_flow(
-                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], dx2s[sl], dy2s[sl],
-                flow, None, sl, lw, lh, cfg, raw1, raw2,
-            )
-    return flow
+    fn = jax.shard_map(
+        functools.partial(_pair_manual, cfg=cfg, axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32))

@@ -11,6 +11,7 @@ started from the previous pair's flow, downsampled to the coarsest scale.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Callable, Iterator, Optional, Sequence, Tuple
 
@@ -64,7 +65,8 @@ def process_video(
         else:
             out_path = out_dir / f"disp_{i:06d}.pfm"
         if i <= done and out_path.exists():
-            if warm_start and cfg.mode == "flow":
+            if warm_start and cfg.mode == "flow" and i == done:
+                # only the LAST completed pair's flow seeds the next one
                 prev_flow = io.read_flo(out_path)
             yield i, out_path
             continue
@@ -79,5 +81,9 @@ def process_video(
         else:
             io.write_pfm(out_path, flow[..., 0])
         prev_flow = flow
-        ckpt.write_text(json.dumps({"last_completed": i}))
+        # Atomic checkpoint: a kill mid-write must not corrupt progress.json
+        # (resume would die on JSONDecodeError otherwise).
+        tmp = ckpt.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"last_completed": i}))
+        os.replace(tmp, ckpt)
         yield i, out_path

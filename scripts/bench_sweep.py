@@ -54,9 +54,9 @@ def run_reference(binpath, a, b, out, op, reps=3):
     for _ in range(reps):
         r = subprocess.run([binpath, a, b, out, str(op)], capture_output=True, text=True)
         m = re.search(r"O.Flow Run-Time.*?:\s*([0-9.e+]+)", r.stdout)
-        if m:
+        if r.returncode == 0 and m:
             best = min(best, float(m.group(1)))
-    return best  # ms/pair
+    return best if best < float("inf") else None  # ms/pair
 
 
 def bench_ours(cfg, B=16, nq=32, reps=3):
@@ -103,9 +103,10 @@ def main():
             ours_hz = bench_ours(cfg, B=B, nq=nq, reps=reps)
             case = dict(case=f"of_op{op}", ours_hz=round(ours_hz, 1))
             refbin = os.path.join(refdir, "run_OF_INT")
-            if os.path.exists(refbin):
+            ref_ms = run_reference(refbin, a, b, os.path.join(tmp, "ref.flo"), op) \
+                if os.path.exists(refbin) else None
+            if ref_ms is not None:
                 out = os.path.join(tmp, "ref.flo")
-                ref_ms = run_reference(refbin, a, b, out, op)
                 case["ref_hz"] = round(1000.0 / ref_ms, 2)
                 case["speedup"] = round(ours_hz * ref_ms / 1000.0, 1)
                 img1 = io.load_image(a, 1)
@@ -121,9 +122,10 @@ def main():
         ours_hz = bench_ours(cfg)
         case = dict(case="de_op2", ours_hz=round(ours_hz, 1))
         refbin = os.path.join(refdir, "run_DE_INT")
-        if os.path.exists(refbin):
+        ref_ms = run_reference(refbin, a, r, os.path.join(tmp, "ref.pfm"), 2) \
+            if os.path.exists(refbin) else None
+        if ref_ms is not None:
             out = os.path.join(tmp, "ref.pfm")
-            ref_ms = run_reference(refbin, a, r, out, 2)
             case["ref_hz"] = round(1000.0 / ref_ms, 2)
             case["speedup"] = round(ours_hz * ref_ms / 1000.0, 1)
             img1 = io.load_image(a, 1)
