@@ -93,3 +93,40 @@ def test_determinism(smooth_pair):
     a = np.asarray(dis_flow(img1, img2, cfg))
     b = np.asarray(dis_flow(img1, img2, cfg))
     np.testing.assert_array_equal(a, b)
+
+
+def test_degenerate_tiny_levels():
+    """Coarsest levels smaller than one patch (SURVEY §7 hard part 6) must
+    still produce finite flow of the right shape."""
+    import numpy as np
+
+    from of_dis_tpu import DISConfig, dis_flow
+
+    rng = np.random.RandomState(0)
+    img1 = (rng.rand(16, 24) * 255).astype(np.float32)
+    img2 = (rng.rand(16, 24) * 255).astype(np.float32)
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=2, sc_l=0, max_iter=2, min_iter=2,
+        use_tv_refine=True, tv_solverit=1,
+    ).validate()  # level 2 is 6x4 — smaller than the 8-px patch
+    out = np.asarray(dis_flow(img1, img2, cfg))
+    assert out.shape == (16, 24, 2)
+    assert np.isfinite(out).all()
+
+
+def test_odd_size_inputs():
+    """Odd input dims exercise the divisibility padding + crop path."""
+    import numpy as np
+
+    from of_dis_tpu import DISConfig, dis_flow
+
+    rng = np.random.RandomState(1)
+    img1 = (rng.rand(37, 53) * 255).astype(np.float32)
+    img2 = (rng.rand(37, 53) * 255).astype(np.float32)
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=2, sc_l=1, max_iter=2, min_iter=2,
+        use_tv_refine=False,
+    ).validate()
+    out = np.asarray(dis_flow(img1, img2, cfg))
+    assert out.shape == (37, 53, 2)
+    assert np.isfinite(out).all()
