@@ -167,6 +167,9 @@ def main():
     # Stereo with explicit params + fb-con.
     args, params = explicit_args(scf8, usefbcon=1)
     run("de_int_fbcon", "run_DE_INT", "de1.png", "de2.png", ".pfm", args, params)
+    # RGB + fb-con (combination not covered by the op-point cases).
+    args, params = explicit_args(scf8, usefbcon=1)
+    run("of_rgb_fbcon", "run_OF_RGB", "of1.png", "of2.png", ".flo", args, params)
 
     with open(os.path.join(GOLD, "manifest.json"), "w") as f:
         json.dump(dict(width=W, height=H, cases=cases), f, indent=1)
