@@ -114,16 +114,27 @@ def main(argv=None) -> int:
             padded * fct, int(padded.shape[0] * fct), int(padded.shape[1] * fct)
         )
 
-    with timer.stage("O.Flow Run-Time", sync=None):
-        out = np.asarray(dis_raw(img1, img2, cfg, init_flow=init_flow,
-                                 gradmag_input=args.gradmag))
+    if args.verbosity > 1:
+        # Per-scale stage table (oflow.cpp:296-304) — runs the same stage
+        # functions as dis_raw, each synced for timing.
+        from .utils.instrument import dis_flow_timed
+
+        out, _ = dis_flow_timed(img1, img2, cfg, verbosity=args.verbosity,
+                                gradmag_input=args.gradmag, init_flow=init_flow)
+        out = np.asarray(out)
+    else:
+        with timer.stage("O.Flow Run-Time", sync=None):
+            out = np.asarray(dis_raw(img1, img2, cfg, init_flow=init_flow,
+                                     gradmag_input=args.gradmag))
 
     with timer.stage("Saving flow file"):
         if mode == "flow":
             io.write_flo(args.out, out)
         else:
             io.write_pfm(args.out, out[..., 0])
-    timer.report()
+    if args.verbosity <= 1:
+        # at verbosity 2 the instrumented path already printed the total
+        timer.report()
     return 0
 
 

@@ -35,6 +35,60 @@ from .inverse_search import build_templates, optimize_level
 from .refine import refine_level
 
 
+def _stage_templates(im_a, dx_a, dy_a, im_b, dx_b, dy_b, pt_ref, cfg: DISConfig, pad: int):
+    """Stage 'pconst': template extraction + Hessians (patchgrid.cpp:109-114)."""
+    tmpl_fw = build_templates(im_a, dx_a, dy_a, pt_ref, cfg, pad)
+    tmpl_bw = (
+        build_templates(im_b, dx_b, dy_b, pt_ref, cfg, pad)
+        if cfg.use_fb_merge else None
+    )
+    return tmpl_fw, tmpl_bw
+
+
+def _stage_init(flow_prev: Optional[jnp.ndarray], geo, cfg: DISConfig) -> jnp.ndarray:
+    """Stage 'pinit': InitializeFromCoarserOF (patchgrid.cpp:195-211),
+    a 2x NN upsample of the coarser flow (zeros at the coarsest scale)."""
+    if flow_prev is None:
+        return jnp.zeros((geo.n_patches, cfg.nop), jnp.float32)
+    return 2.0 * flow_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
+
+
+def _stage_optimize(
+    im_a, im_b, tmpl_fw, tmpl_bw, pt_ref, p_init, p_init_bw, cfg: DISConfig,
+    w: int, h: int, pad: int,
+):
+    """Stage 'poptim': batched inverse search, fw (+ bw for fb-merge with the
+    flipped camera, oflow.cpp:154-157)."""
+    res_fw = optimize_level(im_b, tmpl_fw, pt_ref, p_init, cfg, w, h, pad)
+    res_bw = None
+    if cfg.use_fb_merge:
+        res_bw = optimize_level(
+            im_a, tmpl_bw, pt_ref, p_init_bw, cfg, w, h, pad,
+            camlr=1 - cfg.camlr,
+        )
+    return res_fw, res_bw
+
+
+def _stage_densify(res_fw, res_bw, sl: int, geo, cfg: DISConfig):
+    """Stage 'cflow': weighted aggregation (+ fb merge); backward flow only
+    needed above the finest scale (oflow.cpp:269-270)."""
+    flow_fw = aggregate_flow_dense(res_fw, geo, cfg, bw_result=res_bw)
+    flow_bw = None
+    if cfg.use_fb_merge and sl > cfg.sc_l:
+        flow_bw = aggregate_flow_dense(res_bw, geo, cfg, bw_result=res_fw)
+    return flow_fw, flow_bw
+
+
+def _stage_refine(flow_fw, flow_bw, im_a_raw, im_b_raw, sl: int, cfg: DISConfig):
+    """Stage 'tvopt': variational refinement of fw (and bw when chained)."""
+    if not cfg.use_tv_refine:
+        return flow_fw, flow_bw
+    flow_fw = refine_level(flow_fw, im_a_raw, im_b_raw, sl, cfg, camlr=cfg.camlr)
+    if flow_bw is not None:
+        flow_bw = refine_level(flow_bw, im_b_raw, im_a_raw, sl, cfg, camlr=1 - cfg.camlr)
+    return flow_fw, flow_bw
+
+
 def _level_flow(
     im_a, dx_a, dy_a, im_b, dx_b, dy_b,
     flow_prev: Optional[jnp.ndarray],
@@ -45,45 +99,22 @@ def _level_flow(
     cfg: DISConfig,
     im_a_raw, im_b_raw,
 ):
-    """One pyramid level: returns (flow_fw, flow_bw or None)."""
+    """One pyramid level: returns (flow_fw, flow_bw or None).
+
+    Composed from the _stage_* functions above; utils/instrument.py times
+    exactly these stages for the verbosity-2 table (oflow.cpp:296-304)."""
     pad = cfg.patch_size
     geo = level_geometry(w, h, cfg)
     pt_ref = jnp.asarray(geo.pt_ref)
 
-    tmpl_fw = build_templates(im_a, dx_a, dy_a, pt_ref, cfg, pad)
-
-    if flow_prev is None:
-        p_init = jnp.zeros((geo.n_patches, cfg.nop), jnp.float32)
-    else:
-        # InitializeFromCoarserOF (patchgrid.cpp:195-211): 2x NN upsample.
-        p_init = 2.0 * flow_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
-
-    res_fw = optimize_level(im_b, tmpl_fw, pt_ref, p_init, cfg, w, h, pad)
-
-    res_bw = None
-    flow_bw = None
-    if cfg.use_fb_merge:
-        tmpl_bw = build_templates(im_b, dx_b, dy_b, pt_ref, cfg, pad)
-        if flow_bw_prev is None:
-            p_init_bw = jnp.zeros((geo.n_patches, cfg.nop), jnp.float32)
-        else:
-            p_init_bw = 2.0 * flow_bw_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
-        res_bw = optimize_level(
-            im_a, tmpl_bw, pt_ref, p_init_bw, cfg, w, h, pad,
-            camlr=1 - cfg.camlr,
-        )
-
-    flow_fw = aggregate_flow_dense(res_fw, geo, cfg, bw_result=res_bw)
-    if cfg.use_fb_merge and sl > cfg.sc_l:
-        # Backward flow only needed above the finest scale (oflow.cpp:269-270).
-        flow_bw = aggregate_flow_dense(res_bw, geo, cfg, bw_result=res_fw)
-
-    if cfg.use_tv_refine:
-        flow_fw = refine_level(flow_fw, im_a_raw, im_b_raw, sl, cfg, camlr=cfg.camlr)
-        if flow_bw is not None:
-            flow_bw = refine_level(flow_bw, im_b_raw, im_a_raw, sl, cfg, camlr=1 - cfg.camlr)
-
-    return flow_fw, flow_bw
+    tmpl_fw, tmpl_bw = _stage_templates(im_a, dx_a, dy_a, im_b, dx_b, dy_b, pt_ref, cfg, pad)
+    p_init = _stage_init(flow_prev, geo, cfg)
+    p_init_bw = _stage_init(flow_bw_prev, geo, cfg) if cfg.use_fb_merge else None
+    res_fw, res_bw = _stage_optimize(
+        im_a, im_b, tmpl_fw, tmpl_bw, pt_ref, p_init, p_init_bw, cfg, w, h, pad
+    )
+    flow_fw, flow_bw = _stage_densify(res_fw, res_bw, sl, geo, cfg)
+    return _stage_refine(flow_fw, flow_bw, im_a_raw, im_b_raw, sl, cfg)
 
 
 def _dis_padded(

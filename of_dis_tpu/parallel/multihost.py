@@ -89,18 +89,21 @@ def flow_2d(
     `data` (zero communication) and each pair is spatially tiled over `tx`
     (ppermute halo exchange + psum densify).
 
-    Returns flow at scale sc_l: (B, H/2^sc_l, W/2^sc_l, nop).
+    Returns full-resolution flow (B, H, W, nop): like dis_flow/batched_flow,
+    the final 2^sc_l upscale and divisibility-padding crop are applied
+    (run_dense.cpp:406-414).
     """
     cfg.validate()
     imgs1 = jnp.asarray(imgs1, jnp.float32)
     imgs2 = jnp.asarray(imgs2, jnp.float32)
     if imgs1.ndim == 3:
         imgs1, imgs2 = imgs1[..., None], imgs2[..., None]
-    b = imgs1.shape[0]
+    b, h0, w0 = imgs1.shape[:3]
     n_data = mesh.shape["data"]
     if b % n_data:
         raise ValueError(f"batch {b} not divisible by data axis {n_data}")
     scf = 1 << cfg.sc_f
+    t, _, l, _ = pyr.divisibility_padding(h0, w0, scf)
     p1 = jax.vmap(lambda x: pyr.pad_to_divisible(x, scf))(imgs1)
     p2 = jax.vmap(lambda x: pyr.pad_to_divisible(x, scf))(imgs2)
     sh = NamedSharding(mesh, P("data"))
@@ -123,4 +126,10 @@ def flow_2d(
             check_vma=False,
         )
     )
-    return fn(p1, p2)
+    flow = fn(p1, p2)
+    if cfg.sc_l != 0:
+        sc = float(1 << cfg.sc_l)
+        flow = jax.vmap(
+            lambda f: pyr.resize_bilinear(f * sc, p1.shape[1], p1.shape[2])
+        )(flow)
+    return flow[:, t : t + h0, l : l + w0]

@@ -319,18 +319,27 @@ def _pair_manual(img1p, img2p, cfg, axis):
     im1s, dx1s, dy1s = pyr.build_pyramid(img1p, cfg.sc_f + 1, pad)
     im2s, dx2s, dy2s = pyr.build_pyramid(img2p, cfg.sc_f + 1, pad)
     flow = None
+    flow_bw = None
     for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
         lw, lh = w >> sl, h >> sl
-        if lw % ntx == 0 and lw >= 2 * ntx and cfg.mode == "flow":
+        sharded_ok = (
+            lw % ntx == 0 and lw >= 2 * ntx and cfg.mode == "flow"
+            # fb-merge needs the backward search + fb-weighted densify,
+            # which _level_manual does not implement; run the exact
+            # replicated pipeline instead of silently diverging from
+            # dis_flow (round-1 advisor finding).
+            and not cfg.use_fb_merge
+        )
+        if sharded_ok:
             flow = _level_manual(
                 im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], flow, sl, lw, lh, cfg, axis
             )
         else:
             raw1 = im1s[sl][pad:-pad, pad:-pad]
             raw2 = im2s[sl][pad:-pad, pad:-pad]
-            flow, _ = _level_flow(
+            flow, flow_bw = _level_flow(
                 im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], dx2s[sl], dy2s[sl],
-                flow, None, sl, lw, lh, cfg, raw1, raw2,
+                flow, flow_bw, sl, lw, lh, cfg, raw1, raw2,
             )
     return flow
 

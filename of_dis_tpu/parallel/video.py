@@ -65,15 +65,20 @@ def process_video(
         else:
             out_path = out_dir / f"disp_{i:06d}.pfm"
         if i <= done and out_path.exists():
-            if warm_start and cfg.mode == "flow" and i == done:
-                # only the LAST completed pair's flow seeds the next one
-                prev_flow = io.read_flo(out_path)
+            if warm_start and i == done:
+                # only the LAST completed pair's flow seeds the next one;
+                # stereo re-seeds from the .pfm in the internal (negated)
+                # sign convention so a resumed run matches an uninterrupted one
+                if cfg.mode == "flow":
+                    prev_flow = io.read_flo(out_path)
+                else:
+                    prev_flow = np.asarray(io.read_pfm(out_path, negate=True))[..., None]
             yield i, out_path
             continue
         a = load(frames[i])
         b = load(frames[i + 1])
         init = None
-        if warm_start and prev_flow is not None and cfg.mode == "flow":
+        if warm_start and prev_flow is not None:
             init = _warm_start_from(prev_flow, cfg)
         flow = np.asarray(dis_raw(a, b, cfg, init_flow=init))
         if cfg.mode == "flow":

@@ -59,7 +59,6 @@ def run_case(case: dict):
     from of_dis_tpu import io
     from of_dis_tpu.models.dis import dis_raw
 
-    img1 = io.load_image(os.path.join(GOLD, case["img1"]), 1)
     channels = 3 if case["binary"].endswith("RGB") else 1
     img1 = io.load_image(os.path.join(GOLD, case["img1"]), channels)
     img2 = io.load_image(os.path.join(GOLD, case["img2"]), channels)

@@ -55,3 +55,20 @@ def test_cli_stereo_pfm(tmp_path, smooth_pair):
     assert main([str(p1), str(p2), out, "--op", "1", "-v", "0"]) == 0
     d = io.read_pfm(out)
     assert abs(np.median(d[16:-16, 16:-16]) - 3.0) < 0.2
+
+
+def test_cli_verbosity2_stage_table(pair_files, tmp_path, capsys):
+    """-v 2 prints the reference's per-scale stage table (oflow.cpp:296-304)
+    and produces the same output file as -v 0."""
+    p1, p2, (tu, tv) = pair_files
+    out0 = str(tmp_path / "q.flo")
+    out2 = str(tmp_path / "v.flo")
+    assert main([p1, p2, out0, "--op", "1", "-v", "0"]) == 0
+    assert main([p1, p2, out2, "--op", "1", "-v", "2"]) == 0
+    text = capsys.readouterr().out
+    assert "TIME (Pyramide+Gradients)" in text
+    assert "pconst, pinit, poptim, cflow, tvopt, total" in text
+    assert "TIME (O.Flow Run-Time   )" in text
+    f0 = io.read_flo(out0)
+    f2 = io.read_flo(out2)
+    np.testing.assert_allclose(f2, f0, rtol=1e-4, atol=1e-4)
