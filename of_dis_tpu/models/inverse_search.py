@@ -213,15 +213,15 @@ def optimize_level(
     )
     win = gather_windows_rows(im_b, by, bx, sy, sx)  # (sx, C, sy, N) — patches on lanes
 
-    # Templates in patches-last layout (transpose once per level).
-    T = jnp.transpose(tmpl.tmp, (3, 1, 2, 0))   # (C, psz_j, psz_i, N)
-    DX = jnp.transpose(tmpl.dx, (3, 1, 2, 0))
-    DY = jnp.transpose(tmpl.dy, (3, 1, 2, 0))
-
     from ..ops.pallas_kernels import gn_pallas_applicable, gn_search_pallas
 
     if gn_pallas_applicable(sy, sx, psz, c, n):
-        # Fused Pallas kernel: the whole state machine in VMEM.
+        # Fused Pallas kernel: the whole state machine in VMEM, tiled over
+        # the patch axis.  Patch-pixel tensors go in (psz_i, C, psz_j, N)
+        # layout (the kernel's horizontal block-select lands there).
+        Tp = jnp.transpose(tmpl.tmp, (2, 3, 1, 0))
+        DXp = jnp.transpose(tmpl.dx, (2, 3, 1, 0))
+        DYp = jnp.transpose(tmpl.dy, (2, 3, 1, 0))
         if nop == 2:
             hes3 = tmpl.hes.T
         else:
@@ -229,7 +229,7 @@ def optimize_level(
                 [tmpl.hes.T, jnp.zeros((2, n), jnp.float32)], axis=0
             )
         p_t, pt_t, pw_t, conv = gn_search_pallas(
-            win, T, DX, DY, hes3, pt_ref.T, p_init.T,
+            win, Tp, DXp, DYp, hes3, pt_ref.T, p_init.T,
             by[None, :], bx[None, :],
             psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
             cfg=cfg, camlr=camlr,
@@ -237,9 +237,14 @@ def optimize_level(
         return SearchResult(
             p=p_t.T,
             pt=pt_t.T,
-            pweight=jnp.transpose(pw_t, (3, 1, 2, 0)),
+            pweight=jnp.transpose(pw_t, (3, 2, 0, 1)),
             converged=conv,
         )
+
+    # Templates in patches-last layout (transpose once per level).
+    T = jnp.transpose(tmpl.tmp, (3, 1, 2, 0))   # (C, psz_j, psz_i, N)
+    DX = jnp.transpose(tmpl.dx, (3, 1, 2, 0))
+    DY = jnp.transpose(tmpl.dy, (3, 1, 2, 0))
 
     if nop == 2:
         h00, h01, h11 = tmpl.hes[:, 0], tmpl.hes[:, 1], tmpl.hes[:, 2]

@@ -344,9 +344,11 @@ def sor_scalar_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
 
 # Use the fused Pallas SOR kernel when the level fits in VMEM (set to 0 to
 # force the XLA red-black path, e.g. for A/B testing).  The fused inner
-# kernel keeps ~25 (h, w) f32 buffers live, so the practical ceiling is
-# ~100k pixels against the 16 MB scoped-VMEM limit (224x512 already OOMs).
-PALLAS_SOR_MAX_PIXELS = int(os.environ.get("OF_DIS_PALLAS_SOR_MAX_PIXELS", 100_000))
+# kernel keeps ~25 (h, w) f32 buffers live; with the kernel's raised
+# vmem_limit_bytes (100 MB of the v5e's 128 MB VMEM) the whole op4 finest
+# level (448x1024 = 459k px, measured ~15 ms/call) compiles and runs fused.
+# Levels beyond ~semi-HD fall back to the XLA red-black path.
+PALLAS_SOR_MAX_PIXELS = int(os.environ.get("OF_DIS_PALLAS_SOR_MAX_PIXELS", 470_000))
 
 
 def _use_pallas_sor(arr) -> bool:

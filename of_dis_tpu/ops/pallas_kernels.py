@@ -25,6 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 # 9 (h, w) f32 operands + working copies must fit in VMEM (~16 MB/core).
 SOR_PALLAS_MAX_PIXELS = 200_000
 
+# The refinement-family kernels hold the whole level in VMEM; let Mosaic use
+# most of the v5e's 128 MB physical VMEM instead of the 16 MB default scoped
+# limit (measured: the full op4 finest level, 448x1024, compiles and runs).
+_SOR_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -105,6 +110,7 @@ def sor_coupled_rb_pallas(du, dv, a11, a12, a22, b1, b2, wh, wv,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        compiler_params=_SOR_VMEM_LIMIT,
         interpret=_interpret(),
     )(du, dv, a11, a12, a22, b1, b2, wh, wv)
 
@@ -278,6 +284,7 @@ def refine_inner_pallas(wx, wy, mask, derivs, n_inner, solver_it, omega, qa, hd3
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        compiler_params=_SOR_VMEM_LIMIT,
         interpret=_interpret(),
     )(wx, wy, mask, *dv)
 
@@ -288,7 +295,7 @@ def refine_inner_pallas(wx, wy, mask, derivs, n_inner, solver_it, omega, qa, hd3
 
 def _gn_kernel(
     win_ref,    # (sx, C, sy, N) per-patch windows (patches on lanes)
-    t_ref, dx_ref, dy_ref,   # (C, psz, psz, N) templates
+    t_ref, dx_ref, dy_ref,   # (psz_i, C, psz_j, N) templates
     hes_ref,    # (3, N) [h00, h01, h11] (rows 1-2 ignored for stereo)
     ptref_ref,  # (2, N)
     pinit_ref,  # (nop, N)
@@ -302,15 +309,25 @@ def _gn_kernel(
     outlier_sq: float, stereo_clamp: int,  # -1 none, 0 min(p,0), 1 max(p,0)
 ):
     """The whole per-level GN state machine in ONE kernel: per-iteration
-    two-hot window extraction, loss, 2x2 solve, outlier resets and the
-    reference's convergence predicate (patch.cpp:119-284), with every operand
-    resident in VMEM.  Semantics identical to optimize_level's XLA loop."""
+    window extraction, loss, 2x2 solve, outlier resets and the reference's
+    convergence predicate (patch.cpp:119-284), with every operand resident
+    in VMEM.  Semantics identical to optimize_level's XLA loop.
+
+    Extraction is a roll-blend + block-select (cheaper than the XLA two-hot):
+    bilinear weights separate per axis, so first blend the WHOLE window
+    vertically with the per-patch fraction ry against its roll-by-one copy
+    (2 FMA/window element; the rolled copy is iteration-invariant and
+    hoisted), then select the psz-row block at integer offset oy with a
+    one-hot mask over the sy-psz possible offsets (static sublane slices).
+    Repeat along x.  Patch-pixel tensors are laid out (psz_i, C, psz_j, N)
+    so the horizontal block-select lands in the output layout directly."""
     f32 = jnp.float32
     n = ptref_ref.shape[1]
     lb = -(psz // 2)
     novals = float(c * psz * psz)
 
     win = win_ref[:]
+    win_dn = pltpu.roll(win, sy - 1, 2)   # win[., ., k+1, .] (wrap row unused)
     T = t_ref[:]
     DX = dx_ref[:]
     DY = dy_ref[:]
@@ -323,15 +340,13 @@ def _gn_kernel(
     by = by_ref[:]
     bx = bx_ref[:]
 
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (psz, n), 0)
-
-    def csum(x):  # (C, psz, psz, N) -> (1, N)
+    def csum(x):  # (psz_i, C, psz_j, N) -> (1, N)
         # Reduction-tree note: this cannot be bit-identical to the XLA
         # path's jnp.sum (different compilers reassociate differently), so
         # few-ULP divergence between the Pallas and XLA paths is expected;
         # on chaotic high-gradient patches that flips equally-valid GN
         # trajectories (see tests/test_golden.py textured cases).
-        return jnp.sum(x.reshape(c * psz * psz, n), axis=0, keepdims=True)
+        return jnp.sum(x.reshape(psz * c * psz, n), axis=0, keepdims=True)
 
     def param_to_pt(p):
         if nop == 2:
@@ -351,18 +366,21 @@ def _gn_kernel(
         fx = jnp.floor(pt[0:1])
         ry = pt[1:2] - fy   # (1, N)
         rx = pt[0:1] - fx
-        oy = fy.astype(jnp.int32) + lb + pad - by
+        oy = fy.astype(jnp.int32) + lb + pad - by   # in [0, sy-psz-1]
         ox = fx.astype(jnp.int32) + lb + pad - bx
-        ty = oy + jcol      # (psz, N)
-        tx = ox + jcol
+        # vertical: blend whole window, then one-hot block-select psz rows
+        wbv = (1.0 - ry)[None, None] * win + ry[None, None] * win_dn
         rows = jnp.zeros((sx, c, psz, n), f32)
-        for k in range(sy):
-            rk = jnp.where(ty == k, 1.0 - ry, 0.0) + jnp.where(ty == k - 1, ry, 0.0)
-            rows = rows + win[:, :, k, :][:, :, None, :] * rk[None, None, :, :]
-        out = jnp.zeros((c, psz, psz, n), f32)
-        for s in range(sx):
-            cs = jnp.where(tx == s, 1.0 - rx, 0.0) + jnp.where(tx == s - 1, rx, 0.0)
-            out = out + rows[s][:, :, None, :] * cs[None, None, :, :]
+        for s in range(sy - psz):
+            m = jnp.where(oy == s, 1.0, 0.0)
+            rows = rows + m[None, None] * wbv[:, :, s : s + psz, :]
+        # horizontal: same along the leading (sx) axis
+        rows_dn = pltpu.roll(rows, sx - 1, 0)
+        rowsb = (1.0 - rx)[None, None] * rows + rx[None, None] * rows_dn
+        out = jnp.zeros((psz, c, psz, n), f32)
+        for s in range(sx - psz):
+            m = jnp.where(ox == s, 1.0, 0.0)
+            out = out + m[None, None] * rowsb[s : s + psz]
         return out
 
     def loss(diff):
@@ -406,8 +424,8 @@ def _gn_kernel(
     state = (
         p_in,                                   # p_iter
         pt_st,                                  # pt_iter
-        jnp.zeros((c, psz, psz, n), f32),       # pdiff
-        jnp.zeros((c, psz, psz, n), f32),       # pweight
+        jnp.zeros((psz, c, psz, n), f32),       # pdiff
+        jnp.zeros((psz, c, psz, n), f32),       # pweight
         zf + 1e5,                               # mares
         zf + 1e5,                               # mares_old
         zf + 1e-10,                             # dpsq
@@ -496,35 +514,284 @@ def _gn_kernel(
     conv_out[:] = converged
 
 
-# Upper bound on VMEM working set for the fused GN kernel (win + templates +
-# state + extract temporaries), in bytes.  DEFAULT 0 = disabled: on v5e the
-# kernel measures ~1.5x SLOWER than the XLA two-hot formulation (2.29 vs
-# 1.54 ms single-pair op2) — the unrolled sy+sx accumulation loses to XLA's
-# fused multiply-reduce, and under vmap the per-batch-element grid
-# serializes work XLA parallelizes across the batch inside each op.  Kept as
-# an A/B-able alternative (OF_DIS_GN_PALLAS_MAX_BYTES=6000000 to enable);
-# numerics match the XLA path to float-reassociation level (tested).
-GN_PALLAS_MAX_BYTES = int(os.environ.get("OF_DIS_GN_PALLAS_MAX_BYTES", 0))
+def _gn_kernel_tiled(
+    win_ref,    # (sx, C, sy, PS, 128) per-patch windows, patches on the TILE
+    t_ref, dx_ref, dy_ref,   # (psz_i, C, psz_j, PS, 128) templates
+    hes_ref,    # (3, PS, 128)
+    ptref_ref,  # (2, PS, 128)
+    pinit_ref,  # (nop, PS, 128)
+    by_ref, bx_ref,          # (1, PS, 128) int32 window bases (padded coords)
+    p_out, pt_out, pw_out, conv_out,
+    *,
+    psz: int, sy: int, sx: int, nop: int, c: int, pad: int,
+    w: int, h: int, max_iter: int, min_iter: int,
+    cost: int, patch_norm: bool, normoutlier: float,
+    dp_thresh_sq: float, dr_thresh: float, res_thresh: float,
+    outlier_sq: float, stereo_clamp: int,
+):
+    """Big-N variant of _gn_kernel: the patch axis is reshaped (PS, 128) and
+    carries the (sublane, lane) tile, so every pixel dimension is an OUTER
+    dim — all block-select slices and rolls are free vector-register
+    re-indexing instead of cross-sublane shifts, and tiles are fully
+    utilized regardless of psz/sy (no 26->32 sublane padding on the window).
+    The bilinear blend is fused into the block-select (no wbv buffer) to
+    keep the working set ~10 MB at psz=12, PS=8.  Numerics identical to
+    _gn_kernel up to reassociation."""
+    f32 = jnp.float32
+    ps, nl = ptref_ref.shape[1:]
+    lb = -(psz // 2)
+    novals = float(c * psz * psz)
+
+    win = win_ref[:]
+    T = t_ref[:]
+    DX = dx_ref[:]
+    DY = dy_ref[:]
+    h00 = hes_ref[0]
+    h01 = hes_ref[1]
+    h11 = hes_ref[2]
+    det = h00 * h11 - h01 * h01
+    ptref = ptref_ref[:]
+    p_in = pinit_ref[:]
+    by = by_ref[0]
+    bx = bx_ref[0]
+
+    def csum(x):  # (psz_i, C, psz_j, PS, 128) -> (PS, 128)
+        return jnp.sum(x.reshape(psz * c * psz, ps, nl), axis=0)
+
+    def param_to_pt(p):
+        if nop == 2:
+            return ptref + p
+        return jnp.concatenate([ptref[0:1] + p[0:1], ptref[1:2]], axis=0)
+
+    def oob(pt):
+        lbf = -float(psz) / 2.0
+        return (
+            (pt[0] < lbf) | (pt[1] < lbf)
+            | (pt[0] > float(w + psz // 2 - 2))
+            | (pt[1] > float(h + psz // 2 - 2))
+        )
+
+    def extract(pt):
+        fy = jnp.floor(pt[1])
+        fx = jnp.floor(pt[0])
+        ry = (pt[1] - fy)[None, None, None]   # (1,1,1,PS,128)
+        rx = (pt[0] - fx)[None, None, None]
+        oy = fy.astype(jnp.int32) + lb + pad - by   # (PS,128), in [0, sy-psz-1]
+        ox = fx.astype(jnp.int32) + lb + pad - bx
+        rows = jnp.zeros((sx, c, psz, ps, nl), f32)
+        for s in range(sy - psz):
+            m = jnp.where(oy == s, 1.0, 0.0)[None, None, None]
+            rows = rows + m * (
+                (1.0 - ry) * win[:, :, s : s + psz]
+                + ry * win[:, :, s + 1 : s + psz + 1]
+            )
+        out = jnp.zeros((psz, c, psz, ps, nl), f32)
+        for s in range(sx - psz):
+            m = jnp.where(ox == s, 1.0, 0.0)[None, None, None]
+            out = out + m * (
+                (1.0 - rx) * rows[s : s + psz] + rx * rows[s + 1 : s + psz + 1]
+            )
+        return out
+
+    def loss(diff):
+        if cost == 0:
+            pd = diff
+        elif cost == 1:
+            pd = jnp.sign(diff) * jnp.sqrt(jnp.abs(diff))
+        elif cost == 2:
+            bsq = normoutlier * normoutlier
+            pd = jnp.sign(diff) * jnp.sqrt(
+                2.0 * bsq * (jnp.sqrt(1.0 + diff * diff / bsq) - 1.0)
+            )
+        else:
+            pd = diff
+        return pd, jnp.abs(pd)
+
+    def residual(pt):
+        raw = extract(pt)
+        if patch_norm:
+            raw = raw - (csum(raw) / novals)[None, None, None]
+        if cost == 10:
+            tn_ = jnp.sqrt(csum(T * T))[None, None, None]
+            rn = jnp.sqrt(csum(raw * raw))[None, None, None]
+            diff = raw * (tn_ / jnp.maximum(rn, 1e-10)) - T
+            return diff, jnp.abs(diff)
+        return loss(raw - T)
+
+    tmpl_pd, tmpl_pw = (T, jnp.abs(T)) if cost == 10 else loss(T)
+
+    pt_st = param_to_pt(p_in)
+    oob0 = oob(pt_st)  # (PS,128) bool
+
+    zf = ptref[0] * 0.0   # concrete-layout zeros (see _gn_kernel notes)
+    zi = zf.astype(jnp.int32)
+    state = (
+        p_in,
+        pt_st,
+        jnp.zeros((psz, c, psz, ps, nl), f32),  # pdiff
+        jnp.zeros((psz, c, psz, ps, nl), f32),  # pweight
+        zf + 1e5,                               # mares
+        zf + 1e5,                               # mares_old
+        zf + 1e-10,                             # dpsq
+        zf + 1e-10,                             # dpsq_init
+        zi,                                     # cnt
+        zi,                                     # converged
+    )
+
+    def body(i, state):
+        (p_iter, pt_iter, pdiff, pweight, mares, mares_old,
+         dpsq, dpsq_init, cnt, converged) = state
+        first = (jnp.zeros((ps, nl), jnp.int32) + i) == 0
+        active = converged == 0
+        cnt_n = jnp.where(first, 0, cnt + 1)
+
+        b0 = csum(DX * pdiff)
+        if nop == 2:
+            b1 = csum(DY * pdiff)
+            du = (h11 * b0 - h01 * b1) / det
+            dv = (h00 * b1 - h01 * b0) / det
+            delta_p = jnp.stack([du, dv], axis=0)
+        else:
+            delta_p = (b0 / h00)[None]
+        delta_p = jnp.where(first[None], 0.0, delta_p)
+        p_new = p_iter - delta_p
+        if stereo_clamp == 0:
+            p_new = jnp.where(first[None], p_new, jnp.minimum(p_new, 0.0))
+        elif stereo_clamp == 1:
+            p_new = jnp.where(first[None], p_new, jnp.maximum(p_new, 0.0))
+        pt_new = param_to_pt(p_new)
+
+        moved = jnp.sum((pt_st - pt_new) ** 2, axis=0) > outlier_sq
+        reset = jnp.logical_not(first) & (moved | oob(pt_new))
+        p_new = jnp.where(reset[None], p_in, p_new)
+        pt_new = param_to_pt(p_new)
+
+        pd_new, pw_new = residual(pt_new)
+        oob_start = first & oob0
+        m0 = oob_start[None, None, None]
+        pd_new = jnp.where(m0, tmpl_pd, pd_new)
+        pw_new = jnp.where(m0, tmpl_pw, pw_new)
+        dpsq_n = jnp.where(first, 1e-10, jnp.sum(delta_p * delta_p, axis=0))
+        m1 = (cnt_n == 1).astype(jnp.float32)
+        dpsq_init_n = m1 * dpsq_n + (1.0 - m1) * dpsq_init
+        mares_old_n = jnp.where(first, 1e5, mares)
+        mares_n = csum(pw_new) / novals
+        mares_n = jnp.where(oob_start, 1e5, mares_n)
+
+        keep_going = (
+            (cnt_n < max_iter)
+            & (mares_n > res_thresh)
+            & ((cnt_n < min_iter) | (dpsq_n / dpsq_init_n >= dp_thresh_sq))
+            & ((cnt_n < min_iter) | (mares_n / mares_old_n <= dr_thresh))
+        )
+        conv_n = ((converged != 0) | reset | ~keep_going | oob_start).astype(
+            jnp.int32
+        )
+
+        am = active[None]
+        am4 = active[None, None, None]
+        return (
+            jnp.where(am, p_new, p_iter),
+            jnp.where(am, pt_new, pt_iter),
+            jnp.where(am4, pd_new, pdiff),
+            jnp.where(am4, pw_new, pweight),
+            jnp.where(active, mares_n, mares),
+            jnp.where(active, mares_old_n, mares_old),
+            jnp.where(active, dpsq_n, dpsq),
+            jnp.where(active, dpsq_init_n, dpsq_init),
+            jnp.where(active, cnt_n, cnt),
+            jnp.where(active, conv_n, converged),
+        )
+
+    state = jax.lax.fori_loop(0, max_iter + 1, body, state)
+    p_iter, pt_iter, _, pweight, _, _, _, _, _, converged = state
+    p_out[:] = p_iter
+    pt_out[:] = pt_iter
+    pw_out[:] = pweight
+    conv_out[:] = converged[None]
+
+
+# The fused GN kernel is the default search path (OF_DIS_GN_PALLAS=0 falls
+# back to the XLA two-hot loop).  Round-1 history: an untiled two-hot version
+# of this kernel measured 1.5x SLOWER than XLA at op2 scale; the current
+# version wins everywhere because (a) the roll-blend + block-select
+# extraction does ~2x fewer VPU ops than the two-hot, (b) the patch axis is
+# tiled over a grid so each tile's window, templates and loop state stay
+# VMEM-resident across ALL trips (XLA streams its 100+ MB loop carries from
+# HBM every trip at op4's 51k-patch levels), and (c) one kernel replaces the
+# ~10 small per-trip XLA ops whose ~4 us dispatch latency dominates the
+# tiny op1/op2 levels.
+GN_PALLAS = os.environ.get("OF_DIS_GN_PALLAS", "1") != "0"
 
 
 def gn_pallas_applicable(sy: int, sx: int, psz: int, c: int, n: int) -> bool:
-    per_lane = (sx * c * sy) + 3 * (c * psz * psz) + 4 * (c * psz * psz) + (sx * c * psz)
-    return per_lane * n * 4 <= GN_PALLAS_MAX_BYTES
+    # The block-select needs at least one valid row/col offset; degenerate
+    # tiny levels (window smaller than psz+1) use the XLA path.
+    return GN_PALLAS and sy > psz and sx > psz
+
+
+# Mosaic's scoped stack allocation for _gn_kernel_tiled measures ~4.5x the
+# naive live-buffer word count (the unrolled block-select keeps every slice
+# temporary alive); budget against that with an explicit vmem_limit_bytes
+# raised far past the 16 MB default (the v5e has 128 MB physical VMEM).
+_GN_TILED_STACK_FACTOR = 4.5
+_GN_TILED_VMEM_BUDGET = 56 * 2**20
+
+
+def _gn_tiled_naive_words(sy: int, sx: int, psz: int, c: int) -> int:
+    return sx * c * sy + 3 * c * psz * psz + sx * c * psz + 4 * c * psz * psz + 64
+
+
+def _gn_tiled_ps(sy: int, sx: int, psz: int, c: int):
+    """Largest (ps, 128) patch-tile whose estimated scoped VMEM fits.
+    Mosaic requires the block's second-minor dim be a multiple of 8."""
+    per_lane = _gn_tiled_naive_words(sy, sx, psz, c) * _GN_TILED_STACK_FACTOR * 4
+    for ps in (16, 8):
+        if per_lane * ps * 128 <= _GN_TILED_VMEM_BUDGET:
+            return ps
+    return None
+
+
+def _gn_tile_n(sy: int, sx: int, psz: int, c: int) -> int:
+    """Largest patch-tile size whose VMEM working set fits ~10 MB:
+    win + rolled copy (2*sx*c*sy) + rows/rowsb/blend temps (4*sx*c*psz) +
+    templates/state/extract outputs (10*c*psz^2) words per lane, f32."""
+    words = 2 * sx * c * sy + 4 * sx * c * psz + 10 * c * psz * psz + 64
+    budget = (10 * 2**20) // 4
+    for tn in (2048, 1024, 512, 256, 128):
+        if words * tn <= budget:
+            return tn
+    return 128
 
 
 def gn_search_pallas(
     win, T, DX, DY, hes3, ptref, p_init, by, bx, *,
     psz, sy, sx, nop, c, pad, w, h, cfg, camlr,
 ):
-    """Run the fused GN search kernel.  Inputs are patches-last:
-    win (sx, C, sy, N); T/DX/DY (C, psz, psz, N); hes3 (3, N);
-    ptref (2, N); p_init (nop, N); by/bx (1, N) int32.
-    Returns (p (nop,N), pt (2,N), pweight (C,psz,psz,N), converged (N,) bool).
+    """Run the fused GN search kernel, tiled over the patch axis.
+
+    Inputs are patches-last: win (sx, C, sy, N); T/DX/DY (psz_i, C, psz_j, N);
+    hes3 (3, N); ptref (2, N); p_init (nop, N); by/bx (1, N) int32.
+    Returns (p (nop,N), pt (2,N), pweight (psz_i,C,psz_j,N), converged (N,)).
     """
     n0 = ptref.shape[1]
-    # Pad the patch (lane) axis to a multiple of 128: full VPU lanes, and
-    # Mosaic miscompiles some (1, n<128) broadcasts ("invalid relayout").
-    n = max(128, -(-n0 // 128) * 128)
+    # Big-N levels use the (PS, 128) patch-tile kernel: pixel dims become
+    # outer dims (free slicing), tiles are fully utilized, and the VMEM
+    # working set per program is bounded by the patch-tile size.
+    ps = _gn_tiled_ps(sy, sx, psz, c)
+    tiled_ok = ps is not None and (-(-n0 // 128) >= ps)
+    if tiled_ok:
+        return _gn_search_tiled(
+            win, T, DX, DY, hes3, ptref, p_init, by, bx,
+            psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
+            cfg=cfg, camlr=camlr, ps=ps,
+        )
+    # Tile no larger than the level needs (lane-padding waste dominates tiny
+    # levels otherwise).
+    tn = min(_gn_tile_n(sy, sx, psz, c), max(128, -(-n0 // 128) * 128))
+    # Pad the patch (lane) axis to a tile multiple: full VPU lanes per
+    # program, and Mosaic miscompiles some (1, n<128) broadcasts.
+    n = max(tn, -(-n0 // tn) * tn)
     if n != n0:
         padn = n - n0
         win = jnp.pad(win, ((0, 0), (0, 0), (0, 0), (0, padn)))
@@ -555,16 +822,40 @@ def gn_search_pallas(
         outlier_sq=float(cfg.outlier_thresh) ** 2,
         stereo_clamp=stereo_clamp,
     )
+
+    def lane_spec(*lead):
+        return pl.BlockSpec(
+            tuple(lead) + (tn,),
+            lambda i: tuple(0 for _ in lead) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
     p, pt, pw, conv = pl.pallas_call(
         kernel,
+        grid=(n // tn,),
         out_shape=(
             jax.ShapeDtypeStruct((nop, n), jnp.float32),
             jax.ShapeDtypeStruct((2, n), jnp.float32),
-            jax.ShapeDtypeStruct((c, psz, psz, n), jnp.float32),
+            jax.ShapeDtypeStruct((psz, c, psz, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
+        in_specs=[
+            lane_spec(sx, c, sy),        # win
+            lane_spec(psz, c, psz),      # T
+            lane_spec(psz, c, psz),      # DX
+            lane_spec(psz, c, psz),      # DY
+            lane_spec(3),                # hes3
+            lane_spec(2),                # ptref
+            lane_spec(nop),              # p_init
+            lane_spec(1),                # by
+            lane_spec(1),                # bx
+        ],
+        out_specs=(
+            lane_spec(nop),
+            lane_spec(2),
+            lane_spec(psz, c, psz),
+            lane_spec(1),
+        ),
         interpret=_interpret(),
     )(win, T, DX, DY, hes3, ptref, p_init, by, bx)
     return (
@@ -572,6 +863,97 @@ def gn_search_pallas(
         pt[:, :n0],
         pw[..., :n0],
         conv[0, :n0].astype(jnp.bool_),
+    )
+
+
+def _gn_search_tiled(
+    win, T, DX, DY, hes3, ptref, p_init, by, bx, *,
+    psz, sy, sx, nop, c, pad, w, h, cfg, camlr, ps,
+):
+    """Big-N GN search: patch axis reshaped (nb, 128), gridded in (ps, 128)
+    patch tiles (_gn_kernel_tiled)."""
+    n0 = ptref.shape[1]
+    nbp = -(-(-(-n0 // 128)) // ps) * ps
+    n = nbp * 128
+    if n != n0:
+        padn = n - n0
+        win = jnp.pad(win, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        DX = jnp.pad(DX, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        DY = jnp.pad(DY, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        hes3 = jnp.concatenate(
+            [hes3, jnp.tile(jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32), (1, padn))],
+            axis=1,
+        )
+        ptref = jnp.concatenate(
+            [ptref, jnp.full((2, padn), -1e6, jnp.float32)], axis=1
+        )
+        p_init = jnp.pad(p_init, ((0, 0), (0, padn)))
+        by = jnp.pad(by, ((0, 0), (0, padn)))
+        bx = jnp.pad(bx, ((0, 0), (0, padn)))
+
+    def fold(x):
+        return x.reshape(x.shape[:-1] + (nbp, 128))
+
+    stereo_clamp = -1 if cfg.mode != "stereo" else int(camlr)
+    kernel = functools.partial(
+        _gn_kernel_tiled,
+        psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
+        max_iter=int(cfg.max_iter), min_iter=int(cfg.min_iter),
+        cost=int(cfg.cost), patch_norm=bool(cfg.patch_norm),
+        normoutlier=float(cfg.normoutlier),
+        dp_thresh_sq=float(cfg.dp_thresh) ** 2, dr_thresh=float(cfg.dr_thresh),
+        res_thresh=float(cfg.res_thresh),
+        outlier_sq=float(cfg.outlier_thresh) ** 2,
+        stereo_clamp=stereo_clamp,
+    )
+
+    def tile_spec(*lead):
+        return pl.BlockSpec(
+            tuple(lead) + (ps, 128),
+            lambda i: tuple(0 for _ in lead) + (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    p, pt, pw, conv = pl.pallas_call(
+        kernel,
+        grid=(nbp // ps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nop, nbp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((2, nbp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((psz, c, psz, nbp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, nbp, 128), jnp.int32),
+        ),
+        in_specs=[
+            tile_spec(sx, c, sy),        # win
+            tile_spec(psz, c, psz),      # T
+            tile_spec(psz, c, psz),      # DX
+            tile_spec(psz, c, psz),      # DY
+            tile_spec(3),                # hes3
+            tile_spec(2),                # ptref
+            tile_spec(nop),              # p_init
+            tile_spec(1),                # by
+            tile_spec(1),                # bx
+        ],
+        out_specs=(
+            tile_spec(nop),
+            tile_spec(2),
+            tile_spec(psz, c, psz),
+            tile_spec(1),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_GN_TILED_VMEM_BUDGET + 8 * 2**20,
+        ),
+        interpret=_interpret(),
+    )(
+        fold(win), fold(T), fold(DX), fold(DY), fold(hes3), fold(ptref),
+        fold(p_init), fold(by), fold(bx),
+    )
+    return (
+        p.reshape(nop, n)[:, :n0],
+        pt.reshape(2, n)[:, :n0],
+        pw.reshape(psz, c, psz, n)[..., :n0],
+        conv.reshape(n)[:n0].astype(jnp.bool_),
     )
 
 
@@ -610,5 +992,6 @@ def sor_scalar_rb_pallas(du, a11, b1, wh, wv, iterations: int, omega: float):
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=_SOR_VMEM_LIMIT,
         interpret=_interpret(),
     )(du, a11, b1, wh, wv)

@@ -224,8 +224,8 @@ def test_matmul_and_gather_extraction_agree(monkeypatch):
 
 
 def test_pallas_gn_matches_xla(smooth_pair):
-    """The fused Pallas GN kernel (off by default; see pallas_kernels.py) is
-    numerically equivalent to the XLA path up to float reassociation."""
+    """The fused Pallas GN kernel (the default search path) is numerically
+    equivalent to the XLA fallback up to float reassociation."""
     import jax.numpy as jnp
 
     import of_dis_tpu.ops.pallas_kernels as pk
@@ -249,14 +249,14 @@ def test_pallas_gn_matches_xla(smooth_pair):
     tmpl = build_templates(im1s[sl], dx1s[sl], dy1s[sl], ptr, cfg, pad)
     p0 = jnp.zeros((geo.n_patches, 2), jnp.float32)
 
-    old = pk.GN_PALLAS_MAX_BYTES
+    old = pk.GN_PALLAS
     try:
-        pk.GN_PALLAS_MAX_BYTES = 6_000_000
+        pk.GN_PALLAS = True
         r_pl = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
-        pk.GN_PALLAS_MAX_BYTES = 0
+        pk.GN_PALLAS = False
         r_xla = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
     finally:
-        pk.GN_PALLAS_MAX_BYTES = old
+        pk.GN_PALLAS = old
     np.testing.assert_allclose(np.asarray(r_pl.p), np.asarray(r_xla.p), atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(r_pl.pweight), np.asarray(r_xla.pweight), atol=5e-2
