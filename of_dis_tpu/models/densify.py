@@ -96,6 +96,38 @@ def _col2im_accumulate(
     return out.transpose(1, 2, 0)  # (h, w, K)
 
 
+def splat_forward_scatter(
+    p: jnp.ndarray,        # (N, nop) per-patch displacement
+    pweight: jnp.ndarray,  # (N, psz, psz, C) residual image
+    pt: jnp.ndarray,       # (N, 2) patch centers (may include far-OOB pad lanes)
+    w: int,
+    h: int,
+    cfg: DISConfig,
+):
+    """Forward splat as a scatter-add: returns (we (w*h,), flow (w*h, nop))
+    accumulators.  Same numerics as the col2im path of aggregate_flow_dense
+    (footprint offsets, bounds check, 1/sum_c max(minerrval, err) weights —
+    patchgrid.cpp:241-275) but supports an ARBITRARY patch subset, which the
+    spatially-sharded pipeline needs (each device splats its patch shard and
+    psums; parallel/spatial.py)."""
+    psz = cfg.patch_size
+    lb = -(psz // 2)
+    offs = jnp.arange(lb, lb + psz, dtype=jnp.int32)
+    oy = jnp.repeat(offs, psz)
+    ox = jnp.tile(offs, psz)
+    yt = pt[:, 1].astype(jnp.int32)[:, None] + oy[None, :]
+    xt = pt[:, 0].astype(jnp.int32)[:, None] + ox[None, :]
+    valid = ((xt >= 0) & (yt >= 0) & (xt < w) & (yt < h)).astype(jnp.float32)
+    idxm = jnp.clip(yt, 0, h - 1) * w + jnp.clip(xt, 0, w - 1)
+    absw = _abs_weights(pweight, cfg) * valid
+    we = jnp.zeros((w * h,), jnp.float32).at[idxm.ravel()].add(absw.ravel())
+    contrib = absw[:, :, None] * p[:, None, :]
+    flow = jnp.zeros((w * h, p.shape[1]), jnp.float32).at[idxm.ravel()].add(
+        contrib.reshape(-1, p.shape[1])
+    )
+    return we, flow
+
+
 def aggregate_flow_dense(
     result: SearchResult,
     geo: LevelGeometry,
@@ -155,12 +187,15 @@ def _merge_backward(we, flow, bw: SearchResult, geo: LevelGeometry, cfg: DISConf
 
     absw = _abs_weights(bw.pweight, cfg) * valid  # (N, psz²)
     idxcc = jnp.clip(yt * w + xt, 0, npx - 1)
-    # The 4 bilinear cells: cc, (x-1)c, c(y-1), (x-1)(y-1).
-    cells = (idxcc, idxcc - 1, idxcc - w, idxcc - w - 1)
-    for k, cell in enumerate(cells):
-        cw = wbil[:, k : k + 1] * absw  # (N, psz²)
-        cell = jnp.clip(cell, 0, npx - 1)
-        we = we.at[cell.ravel()].add(cw.ravel())
-        contrib = -cw[:, :, None] * bw.p[:, None, :]
-        flow = flow.at[cell.ravel()].add(contrib.reshape(-1, flow.shape[1]))
+    # The 4 bilinear cells — cc, (x-1)c, c(y-1), (x-1)(y-1) — folded into
+    # ONE scatter-add each for we/flow instead of 8 serialized ones
+    # (scatter latency dominates; the data is only 4x psz² per patch).
+    cells = jnp.clip(
+        jnp.stack([idxcc, idxcc - 1, idxcc - w, idxcc - w - 1], axis=-1),
+        0, npx - 1,
+    )  # (N, psz², 4)
+    cw = wbil[:, None, :] * absw[:, :, None]  # (N, psz², 4)
+    we = we.at[cells.ravel()].add(cw.ravel())
+    contrib = (-cw)[..., None] * bw.p[:, None, None, :]  # (N, psz², 4, nop)
+    flow = flow.at[cells.ravel()].add(contrib.reshape(-1, flow.shape[1]))
     return we, flow

@@ -723,11 +723,20 @@ def _gn_kernel_tiled(
 # tiny op1/op2 levels.
 GN_PALLAS = os.environ.get("OF_DIS_GN_PALLAS", "1") != "0"
 
+# On the CPU backend the kernel would run in Pallas interpret mode — ~4x
+# slower than the XLA formulation and testing nothing the dedicated
+# equivalence tests (tests/test_inverse_search.py) don't already cover, so
+# CPU defaults to the XLA path.  Set to True (or OF_DIS_GN_PALLAS_CPU=1) to
+# force the interpreted kernel, e.g. for kernel-logic tests.
+GN_PALLAS_CPU = os.environ.get("OF_DIS_GN_PALLAS_CPU", "0") != "0"
+
 
 def gn_pallas_applicable(sy: int, sx: int, psz: int, c: int, n: int) -> bool:
     # The block-select needs at least one valid row/col offset; degenerate
     # tiny levels (window smaller than psz+1) use the XLA path.
-    return GN_PALLAS and sy > psz and sx > psz
+    if not GN_PALLAS or (_interpret() and not GN_PALLAS_CPU):
+        return False
+    return sy > psz and sx > psz
 
 
 # Mosaic's scoped stack allocation for _gn_kernel_tiled measures ~4.5x the

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DISConfig
 from ..models import refine as rf
-from ..models.densify import _abs_weights
+from ..models.densify import splat_forward_scatter
 from ..models.dis import _level_flow
 from ..models.grid import level_geometry
 from ..models.inverse_search import build_templates, optimize_level
@@ -165,6 +165,38 @@ def _sor_coupled_rb_sharded(du, dv, a11, a12, a22, b1, b2, wh, wv, iters, omega,
     return jax.lax.fori_loop(0, iters, body, (du, dv))
 
 
+def _sor_scalar_rb_sharded(du, a11, b1, wh, wv, iters, omega, axis):
+    """Scalar (stereo) red-black SOR on a column strip — mirrors
+    models/refine.py::sor_scalar_rb with halo-exchanged horizontal shifts."""
+    h, wl = du.shape
+    idx, n = _axis_info(axis)
+    col0 = idx * wl
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, wl), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, wl), 1) + col0
+    red = (ii + jj) % 2 == 0
+
+    A11 = a11 + rf._up(wv) + _shift_left_sharded(wh, axis) + wv + wh
+
+    def nb(x):
+        return (
+            rf._up(wv * x)
+            + _shift_left_sharded(wh * x, axis)
+            + wv * rf._down(x)
+            + wh * _shift_right_sharded(x, axis)
+        )
+
+    def half(du, mask):
+        B1 = b1 + nb(du)
+        return jnp.where(mask, (1 - omega) * du + (omega / A11) * B1, du)
+
+    def body(_, du):
+        du = half(du, red)
+        du = half(du, ~red)
+        return du
+
+    return jax.lax.fori_loop(0, iters, body, du)
+
+
 def _warp_sharded(src_full, wx, wy, col0):
     """Warp: local flow strip samples the FULL (replicated) target image."""
     h, wl = wx.shape
@@ -238,8 +270,17 @@ def _refine_level_sharded(flow_strip, im1_strip, im2_full, level, cfg, axis):
             uu = wx + du
             vv = wy + dv
         else:
-            raise NotImplementedError("sharded stereo refinement: use batch axis")
-    return jnp.stack([uu, vv], axis=-1)
+            du = _sor_scalar_rb_sharded(
+                du, a11, b1, wh, wv_, cfg.tv_solverit, cfg.tv_sor, axis
+            )
+            # Disparity sign clamp (refine_variational.cpp:299-314).
+            if cfg.camlr == 0:
+                uu = jnp.minimum(wx + du, 0.0)
+            else:
+                uu = jnp.maximum(wx + du, 0.0)
+    if nop == 2:
+        return jnp.stack([uu, vv], axis=-1)
+    return uu[..., None]
 
 
 # ---------------------------------------------------------------------------
@@ -278,20 +319,8 @@ def _level_manual(im_a, dx_a, dy_a, im_b, flow_prev, sl, w, h, cfg, axis):
 
     # Per-device densification into a full-size accumulator + psum
     # (deterministic; replaces the reference's racy OpenMP scatter).
-    lb = -(pad // 2)
-    offs = jnp.arange(lb, lb + cfg.patch_size, dtype=jnp.int32)
-    oy = jnp.repeat(offs, cfg.patch_size)
-    ox = jnp.tile(offs, cfg.patch_size)
-    yt = pt_shard[:, 1].astype(jnp.int32)[:, None] + oy[None, :]
-    xt = pt_shard[:, 0].astype(jnp.int32)[:, None] + ox[None, :]
-    valid = ((xt >= 0) & (yt >= 0) & (xt < w) & (yt < h)).astype(jnp.float32)
-    idxm = jnp.clip(yt, 0, h - 1) * w + jnp.clip(xt, 0, w - 1)
-    absw = _abs_weights(res.pweight, cfg) * valid
-    we = jnp.zeros((w * h,), jnp.float32).at[idxm.ravel()].add(absw.ravel())
-    contrib = absw[:, :, None] * res.p[:, None, :]
-    fo = jnp.zeros((w * h, cfg.nop), jnp.float32).at[idxm.ravel()].add(
-        contrib.reshape(-1, cfg.nop)
-    )
+    # Splat numerics live in ONE place: models/densify.py.
+    we, fo = splat_forward_scatter(res.p, res.pweight, pt_shard, w, h, cfg)
     we = jax.lax.psum(we, axis)
     fo = jax.lax.psum(fo, axis)
     safe = jnp.where(we > 0, we, 1.0)
@@ -323,7 +352,7 @@ def _pair_manual(img1p, img2p, cfg, axis):
     for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
         lw, lh = w >> sl, h >> sl
         sharded_ok = (
-            lw % ntx == 0 and lw >= 2 * ntx and cfg.mode == "flow"
+            lw % ntx == 0 and lw >= 2 * ntx
             # fb-merge needs the backward search + fb-weighted densify,
             # which _level_manual does not implement; run the exact
             # replicated pipeline instead of silently diverging from

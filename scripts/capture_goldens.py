@@ -24,6 +24,7 @@ from scipy.ndimage import gaussian_filter, map_coordinates
 GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 
 H, W = 160, 256  # small enough for fast tests, big enough for 4 scales
+FH, FW = 436, 1024  # full Sintel resolution (the reference's own QA scale)
 
 
 def smooth_field(rng, h, w, sigma, amp):
@@ -31,14 +32,14 @@ def smooth_field(rng, h, w, sigma, amp):
     return f / (np.abs(f).max() + 1e-9) * amp
 
 
-def make_of_pair(rng):
+def make_of_pair(rng, h=H, w=W):
     """Gray+RGB pair related by a smooth synthetic flow (max ~6 px)."""
-    base = gaussian_filter(rng.rand(H + 40, W + 40, 3).astype(np.float32), 2.5)
+    base = gaussian_filter(rng.rand(h + 40, w + 40, 3).astype(np.float32), 2.5)
     base = (base - base.min()) / (base.max() - base.min()) * 255.0
-    img1 = base[20 : 20 + H, 20 : 20 + W]
-    u = smooth_field(rng, H, W, 24, 6.0)
-    v = smooth_field(rng, H, W, 24, 4.0)
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img1 = base[20 : 20 + h, 20 : 20 + w]
+    u = smooth_field(rng, h, w, 24, 6.0)
+    v = smooth_field(rng, h, w, 24, 4.0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img2 = np.stack(
         [
             map_coordinates(base[..., c], [yy + v + 20, xx + u + 20], order=1)
@@ -66,16 +67,16 @@ def make_textured_pair(rng):
     return img1.astype(np.uint8), img2.astype(np.uint8), np.stack([u, v], -1)
 
 
-def make_de_pair(rng):
+def make_de_pair(rng, h=H, w=W):
     """Rectified stereo pair, img1 = left camera: content shifts LEFT going
     left->right image, so the match for img1(x) is img2(x - d) with d in
     2..6 px — internal parameter p = -d <= 0 per the left-camera clamp
     (patch.cpp:188-193)."""
-    base = gaussian_filter(rng.rand(H + 40, W + 40, 3).astype(np.float32), 2.5)
+    base = gaussian_filter(rng.rand(h + 40, w + 40, 3).astype(np.float32), 2.5)
     base = (base - base.min()) / (base.max() - base.min()) * 255.0
-    img1 = base[20 : 20 + H, 20 : 20 + W]
-    d = 4.0 + smooth_field(rng, H, W, 30, 2.0)
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img1 = base[20 : 20 + h, 20 : 20 + w]
+    d = 4.0 + smooth_field(rng, h, w, 30, 2.0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img2 = np.stack(
         [
             map_coordinates(base[..., c], [yy + 20, xx + d + 20], order=1)
@@ -174,6 +175,51 @@ def main():
     with open(os.path.join(GOLD, "manifest.json"), "w") as f:
         json.dump(dict(width=W, height=H, cases=cases), f, indent=1)
     print(f"{len(cases)} goldens in {GOLD}")
+
+    capture_fullres(refbin)
+
+
+def capture_fullres(refbin):
+    """Full-resolution (1024x436, the reference's own QA scale) goldens:
+    op1-4 gray flow + op2 stereo.  Reference outputs are stored as float16
+    .npz (tolerance is 0.08 px mean EPE; f16 resolution at |flow|<=8 is
+    ~0.004 px).  Replayed on the real TPU by tests/test_golden_fullres.py."""
+    fdir = os.path.join(GOLD, "fullres")
+    os.makedirs(fdir, exist_ok=True)
+    of1, of2 = make_of_pair(np.random.RandomState(7), FH, FW)
+    de1, de2 = make_de_pair(np.random.RandomState(13), FH, FW)
+    for name, img in [("of1.png", of1), ("of2.png", of2), ("de1.png", de1), ("de2.png", de2)]:
+        cv2.imwrite(os.path.join(fdir, name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from of_dis_tpu import io as of_io
+
+    cases = []
+
+    def run(case, binname, in1, in2, ext, op):
+        out = os.path.join(fdir, case + ext)
+        cmd = [
+            os.path.join(refbin, binname),
+            os.path.join(fdir, in1), os.path.join(fdir, in2), out, str(op),
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        if ext == ".flo":
+            ref = of_io.read_flo(out)
+        else:  # internal sign convention (left-camera disparity <= 0)
+            ref = of_io.read_pfm(out, negate=True)[..., None]
+        np.savez_compressed(os.path.join(fdir, case + ".npz"), ref=ref.astype(np.float16))
+        os.remove(out)
+        cases.append(dict(case=case, img1=in1, img2=in2, out=case + ".npz", op=op,
+                          mode="flow" if ext == ".flo" else "stereo"))
+        print("captured fullres", case)
+
+    for op in (1, 2, 3, 4):
+        run(f"of_int_op{op}", "run_OF_INT", "of1.png", "of2.png", ".flo", op)
+    run("de_int_op2", "run_DE_INT", "de1.png", "de2.png", ".pfm", 2)
+
+    with open(os.path.join(fdir, "manifest.json"), "w") as f:
+        json.dump(dict(width=FW, height=FH, cases=cases), f, indent=1)
+    print(f"{len(cases)} fullres goldens in {fdir}")
 
 
 if __name__ == "__main__":

@@ -13,6 +13,9 @@ import os
 # imports jax before this conftest, so the env var alone is too late —
 # jax.config.update below still works because no backend is initialized yet.
 _platform = os.environ.get("OF_DIS_TEST_PLATFORM", "cpu")
+# Preserve the harness's platform for tests that deliberately run a
+# subprocess on the real accelerator (tests/test_golden_fullres.py).
+os.environ.setdefault("OF_DIS_HOST_PLATFORM", os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,57 @@
+"""Full-resolution (1024x436) golden parity against the reference binaries.
+
+The reference's own QA is full-res Sintel/Middlebury output
+(/root/reference/README.md:91-95); the small 256x160 goldens alone would let
+a perf optimization silently regress full-res accuracy.  These tests replay
+the committed full-res reference outputs (tests/goldens/fullres/, captured by
+scripts/capture_goldens.py) through OUR pipeline on the machine's REAL
+accelerator backend — a subprocess outside the conftest's forced-CPU config —
+so the production compiled kernels (not their interpret-mode stand-ins) are
+what gets asserted.  Skips when no accelerator platform is configured.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from golden_util import epe
+
+FDIR = os.path.join(os.path.dirname(__file__), "goldens", "fullres")
+_TOL = 0.08
+
+with open(os.path.join(FDIR, "manifest.json")) as f:
+    _CASES = {c["case"]: c for c in json.load(f)["cases"]}
+
+
+@pytest.fixture(scope="session")
+def fullres_outputs(tmp_path_factory):
+    """Compute all full-res outputs once, in one accelerator subprocess."""
+    host_platform = os.environ.get("OF_DIS_HOST_PLATFORM", "")
+    if host_platform in ("", "cpu"):
+        pytest.skip("no accelerator platform configured (JAX_PLATFORMS was "
+                    f"{host_platform!r} at session start)")
+    outdir = tmp_path_factory.mktemp("fullres")
+    env = dict(os.environ, JAX_PLATFORMS=host_platform)
+    runner = os.path.join(os.path.dirname(__file__), "fullres_runner.py")
+    proc = subprocess.run(
+        [sys.executable, runner, FDIR, str(outdir)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        pytest.fail(f"fullres runner failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+    return outdir
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_golden_fullres(name, fullres_outputs):
+    case = _CASES[name]
+    ours = np.load(os.path.join(fullres_outputs, name + ".npy"))
+    ref = np.load(os.path.join(FDIR, case["out"]))["ref"].astype(np.float32)
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    e = epe(ours, ref)
+    assert np.isfinite(e)
+    assert e < _TOL, f"{name}: full-res mean EPE {e:.4f} vs reference"

@@ -249,14 +249,14 @@ def test_pallas_gn_matches_xla(smooth_pair):
     tmpl = build_templates(im1s[sl], dx1s[sl], dy1s[sl], ptr, cfg, pad)
     p0 = jnp.zeros((geo.n_patches, 2), jnp.float32)
 
-    old = pk.GN_PALLAS
+    old = (pk.GN_PALLAS, pk.GN_PALLAS_CPU)
     try:
-        pk.GN_PALLAS = True
+        pk.GN_PALLAS = pk.GN_PALLAS_CPU = True
         r_pl = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
         pk.GN_PALLAS = False
         r_xla = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
     finally:
-        pk.GN_PALLAS = old
+        pk.GN_PALLAS, pk.GN_PALLAS_CPU = old
     np.testing.assert_allclose(np.asarray(r_pl.p), np.asarray(r_xla.p), atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(r_pl.pweight), np.asarray(r_xla.pweight), atol=5e-2
@@ -264,3 +264,56 @@ def test_pallas_gn_matches_xla(smooth_pair):
     assert (
         np.asarray(r_pl.converged) == np.asarray(r_xla.converged)
     ).mean() > 0.99
+
+
+def test_pallas_gn_tiled_matches_untiled(smooth_pair):
+    """The big-N (PS, 128) patch-tiled GN kernel variant is numerically
+    equivalent to the untiled kernel on identical inputs (padded lanes are
+    inert)."""
+    import jax.numpy as jnp
+
+    import of_dis_tpu.ops.pallas_kernels as pk
+    from of_dis_tpu import DISConfig
+    from of_dis_tpu.models.grid import level_geometry
+    from of_dis_tpu.models.inverse_search import build_templates
+    from of_dis_tpu.ops import pyramid as pyr
+    from of_dis_tpu.ops.interp import gather_windows_rows
+
+    img1, img2, _ = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=0, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=False,
+    ).validate()
+    pad = psz = cfg.patch_size
+    im1s, dx1s, dy1s = pyr.build_pyramid(jnp.asarray(img1[..., None]), 1, pad)
+    im2s, _, _ = pyr.build_pyramid(jnp.asarray(img2[..., None]), 1, pad)
+    lh, lw = img1.shape
+    geo = level_geometry(lw, lh, cfg)
+    ptr = jnp.asarray(geo.pt_ref)
+    tmpl = build_templates(im1s[0], dx1s[0], dy1s[0], ptr, cfg, pad)
+    n = geo.n_patches
+    p0 = jnp.zeros((n, 2), jnp.float32)
+
+    hp, wp, c = im2s[0].shape
+    lb = -(psz // 2)
+    sy = min(2 * psz + 2, hp)
+    sx = min(2 * psz + 2, wp)
+    by = jnp.clip(jnp.floor(ptr[:, 1]).astype(jnp.int32) + lb - psz // 2 + pad, 0, hp - sy)
+    bx = jnp.clip(jnp.floor(ptr[:, 0]).astype(jnp.int32) + lb - psz // 2 + pad, 0, wp - sx)
+    win = gather_windows_rows(im2s[0], by, bx, sy, sx)
+    Tp = jnp.transpose(tmpl.tmp, (2, 3, 1, 0))
+    DXp = jnp.transpose(tmpl.dx, (2, 3, 1, 0))
+    DYp = jnp.transpose(tmpl.dy, (2, 3, 1, 0))
+    args = (win, Tp, DXp, DYp, tmpl.hes.T, ptr.T, p0.T, by[None, :], bx[None, :])
+    kw = dict(psz=psz, sy=sy, sx=sx, nop=2, c=c, pad=pad, w=lw, h=lh, cfg=cfg, camlr=0)
+
+    r_t = pk._gn_search_tiled(*args, ps=8, **kw)
+    old = pk._gn_tiled_ps
+    try:
+        pk._gn_tiled_ps = lambda *a: None  # force the untiled kernel
+        r_u = pk.gn_search_pallas(*args, **kw)
+    finally:
+        pk._gn_tiled_ps = old
+    np.testing.assert_allclose(np.asarray(r_t[0]), np.asarray(r_u[0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_t[2]), np.asarray(r_u[2]), atol=5e-2)
+    assert (np.asarray(r_t[3]) == np.asarray(r_u[3])).mean() > 0.99
