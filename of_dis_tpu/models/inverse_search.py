@@ -97,18 +97,30 @@ def _use_matmul_extract(img: jnp.ndarray) -> bool:
 
 
 def build_templates(
-    im_a: jnp.ndarray,     # (Hp, Wp, C) padded reference image
+    im_a: jnp.ndarray,     # (Hp, Wp, C) padded reference image (or local tile)
     dx_a: jnp.ndarray,
     dy_a: jnp.ndarray,
     pt_ref: jnp.ndarray,
     cfg: DISConfig,
     pad: int,
+    tile_origin=None,      # (oy, ox): im_a is a tile whose row/col 0 sits at
+                           # this offset of the global padded image (spatial
+                           # 2-D tiling; parallel/spatial.py)
 ) -> PatchTemplates:
     """Template extraction + Hessian, once per level (InitializePatch,
     patch.cpp:57-88).  Gradients are NOT mean-normalized; the Hessian uses
     raw template gradients only."""
     psz = cfg.patch_size
-    if _use_matmul_extract(im_a):
+    if tile_origin is not None:
+        # Work in tile-local coordinates: pt stays global; shift the frame.
+        oy, ox = tile_origin
+        pt_loc = pt_ref - jnp.stack(
+            [jnp.asarray(ox, jnp.float32), jnp.asarray(oy, jnp.float32)]
+        )[None, :]
+        tmp = extract_int_matmul(im_a, pt_loc, psz, pad)
+        dx = extract_int_matmul(dx_a, pt_loc, psz, pad)
+        dy = extract_int_matmul(dy_a, pt_loc, psz, pad)
+    elif _use_matmul_extract(im_a):
         tmp = extract_int_matmul(im_a, pt_ref, psz, pad)
         dx = extract_int_matmul(dx_a, pt_ref, psz, pad)
         dy = extract_int_matmul(dy_a, pt_ref, psz, pad)
@@ -169,6 +181,11 @@ def optimize_level(
     h: int,
     pad: int,
     camlr: int | None = None,
+    tile=None,  # (oy, ox, hp_g, wp_g): im_b is a local tile whose row/col 0
+                # sits at (oy, ox) of the (hp_g, wp_g) global padded image
+                # (spatial 2-D tiling; parallel/spatial.py).  All window
+                # bases/clips follow GLOBAL semantics; only the gather is
+                # offset into the tile.
 ) -> SearchResult:
     """Run all patches of one level to convergence (PatClass::OptimizeIter +
     OptimizeStart + OptimizeComputeErrImg, patch.cpp:119-284), as a fixed
@@ -190,7 +207,11 @@ def optimize_level(
     nop = cfg.nop
     novals = float(cfg.novals)
     n = pt_ref.shape[0]
-    hp, wp, c = im_b.shape
+    c = im_b.shape[2]
+    if tile is None:
+        hp, wp = im_b.shape[:2]
+    else:
+        hp, wp = tile[2], tile[3]
     lb = -(psz // 2)
     sy = min(2 * psz + 2, hp)
     sx = min(2 * psz + 2, wp)
@@ -211,7 +232,17 @@ def optimize_level(
     bx = jnp.clip(
         jnp.floor(pt_st[:, 0]).astype(jnp.int32) + lb - psz // 2 + pad, 0, wp - sx
     )
-    win = gather_windows_rows(im_b, by, bx, sy, sx)  # (sx, C, sy, N) — patches on lanes
+    if tile is None:
+        by_g, bx_g = by, bx
+    else:
+        # Gather from the local tile; extraction offsets keep the global
+        # frame (by/bx feed `oy = floor(pt) + lb + pad - by`, which is
+        # origin-invariant as long as by and pt share a frame).
+        by_g = jnp.clip(by - tile[0], 0, im_b.shape[0] - sy)
+        bx_g = jnp.clip(bx - tile[1], 0, im_b.shape[1] - sx)
+        by = by_g + tile[0]
+        bx = bx_g + tile[1]
+    win = gather_windows_rows(im_b, by_g, bx_g, sy, sx)  # (sx, C, sy, N) — patches on lanes
 
     from ..ops.pallas_kernels import gn_pallas_applicable, gn_search_pallas
 

@@ -3,13 +3,12 @@
 The reference's only "sequence-length" scaling is pyramid locality
 (SURVEY.md §5): patch search reads a bounded window, SOR is a 5-point
 stencil, derivative filters are 5-tap.  Exactly these locality structures
-make spatial sharding work on a TPU mesh:
+make spatial sharding work on a TPU mesh.  Two modes:
 
+1-D column strips (spatial_flow, axis "tx") — level images replicated
+(small at Sintel res), exact for unbounded displacements:
   - Patch search: the patch axis is sharded (embarrassingly parallel once
-    each device holds the level images — they are small, ~2 MB at full
-    Sintel resolution, so they are replicated; patch *displacements* are
-    data-dependent and unbounded at init, which rules out tiling the target
-    image without a displacement cap).
+    each device holds the level images).
   - Densification: each device splats its patch shard into a full-size
     (h, w) accumulator; a single psum over the mesh axis merges tile
     borders.  Deterministic, and strictly better than the reference's racy
@@ -20,8 +19,16 @@ make spatial sharding work on a TPU mesh:
     over ICI.  Global borders keep replicate semantics via axis-index
     masking.
 
-All of it runs under jax.shard_map on a mesh axis "tx"; the test invariant
-is sharded == single-device (tests/test_spatial.py).
+2-D (ty, tx) tiles (spatial_flow_tiled) — TILED level images (each device
+gathers windows only from its halo'd tile), tile-local densify with a
+border halo-REDUCE instead of a full-image psum, 2-D halo-exchanged
+refinement stencils.  Displacements carried between levels are clamped to
++-max_disp (the image-halo budget; see the section comment below) — the
+high-resolution / single-pair-latency mode where per-device memory and
+compute must scale as 1/(nty*ntx).
+
+The test invariant for both modes is sharded == single-device
+(tests/test_spatial.py).
 """
 
 from __future__ import annotations
@@ -400,3 +407,420 @@ def spatial_flow(
         check_vma=False,
     )
     return fn(jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# 2-D (ty, tx) tiling: tiled level images + halo exchange in both axes
+# ---------------------------------------------------------------------------
+#
+# SURVEY.md §5's "sequence-parallel" design: the frame is cut into an
+# nty x ntx grid of tiles; each device holds only a halo'd TILE of every
+# pyramid level (images, search windows, flow, refinement fields), patches
+# are owned by the tile containing their grid center, densification is a
+# tile-local splat with a border halo-REDUCE (ppermute) instead of a
+# full-image psum, and refinement exchanges 1-2 px halos per stencil op.
+#
+# Contract (the one deviation from the replicated paths): the warm-start
+# displacement a patch may carry into a level is clamped to +-max_disp px
+# (default 8), because the image halo each device holds is
+# H = psz + ceil(max_disp) + 2 wide.  Flow fields whose inter-level growth
+# stays under max_disp (the common case: DIS displacement per level is
+# bounded by patch travel psz/2 plus densify smoothing) are EXACTLY equal to
+# the single-device result; faster content degrades gracefully (the clamp
+# re-finds large motion over successive levels).  Use spatial_flow /
+# batched_flow when unbounded per-level motion must be preserved.
+
+
+def halo_y(x: jnp.ndarray, k: int, axis: str, edge_mode: str = "edge") -> jnp.ndarray:
+    """Row version of halo_x: extend a (hl, w, ...) tile with k rows from
+    each neighbor along `axis`."""
+    idx, n = _axis_info(axis)
+    bot_src = x[-k:]
+    top_src = x[:k]
+    from_top = jax.lax.ppermute(bot_src, axis, [(i, i + 1) for i in range(n - 1)])
+    from_bot = jax.lax.ppermute(top_src, axis, [(i + 1, i) for i in range(n - 1)])
+    if edge_mode == "edge":
+        edge_t = jnp.repeat(x[:1], k, axis=0)
+        edge_b = jnp.repeat(x[-1:], k, axis=0)
+    else:
+        edge_t = jnp.zeros_like(top_src)
+        edge_b = jnp.zeros_like(bot_src)
+    top = jnp.where(idx == 0, edge_t, from_top)
+    bot = jnp.where(idx == n - 1, edge_b, from_bot)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _conv_v_sharded(img, coeffs, axis):
+    r = len(coeffs) // 2
+    xh = halo_y(img, r, axis, "edge")
+    h = img.shape[0]
+    out = jnp.zeros_like(img)
+    for k, c in enumerate(coeffs):
+        if c != 0.0:
+            out = out + c * xh[k : k + h]
+    return out
+
+
+def _shift_up_sharded(x, axis):
+    """x[j-1, i] with zero at the global top edge."""
+    xh = halo_y(x, 1, axis, "zero")
+    return xh[: x.shape[0]]
+
+
+def _shift_down_sharded(x, axis):
+    xh = halo_y(x, 1, axis, "zero")
+    return xh[2 : 2 + x.shape[0]]
+
+
+def _smoothness_2d(uu, vv, qa, ay, ax):
+    ux = _conv_h_sharded(uu, rf.DERIV3, ax)
+    uy = _conv_v_sharded(uu, rf.DERIV3, ay)
+    vx = _conv_h_sharded(vv, rf.DERIV3, ax)
+    vy = _conv_v_sharded(vv, rf.DERIV3, ay)
+    s = qa / jnp.sqrt(ux * ux + uy * uy + vx * vx + vy * vy + rf.EPS_SMOOTH)
+    iy, ny = _axis_info(ay)
+    ix, nx = _axis_info(ax)
+    th, tw = s.shape
+    col = jnp.arange(tw)
+    row = jnp.arange(th)
+    horiz = s + _shift_right_sharded(s, ax)
+    horiz = jnp.where((ix == nx - 1) & (col == tw - 1)[None, :], 0.0, horiz)
+    vert = s + _shift_down_sharded(s, ay)
+    vert = jnp.where((iy == ny - 1) & (row == th - 1)[:, None], 0.0, vert)
+    return horiz, vert
+
+
+def _sub_laplacian_2d(b, src, wh, wv, ay, ax):
+    th_ = wh * (_shift_right_sharded(src, ax) - src)
+    tv = wv * (_shift_down_sharded(src, ay) - src)
+    return b + th_ - _shift_left_sharded(th_, ax) + tv - _shift_up_sharded(tv, ay)
+
+
+def _sor_rb_2d(du, dv, a11, a12, a22, b1, b2, wh, wv, iters, omega, ay, ax, nop):
+    """Red-black SOR on a 2-D tile; global checkerboard color, halo
+    exchange in both axes per half-step.  dv/a12/a22/b2 ignored for nop=1."""
+    h, wl = du.shape
+    iy, _ = _axis_info(ay)
+    ix, _ = _axis_info(ax)
+    row0 = iy * h
+    col0 = ix * wl
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, wl), 0) + row0
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, wl), 1) + col0
+    red = (ii + jj) % 2 == 0
+
+    sum_dpsis = _shift_up_sharded(wv, ay) + _shift_left_sharded(wh, ax) + wv + wh
+    A11 = a11 + sum_dpsis
+
+    def nb(x):
+        return (
+            _shift_up_sharded(wv * x, ay)
+            + _shift_left_sharded(wh * x, ax)
+            + wv * _shift_down_sharded(x, ay)
+            + wh * _shift_right_sharded(x, ax)
+        )
+
+    if nop == 2:
+        A22 = a22 + sum_dpsis
+
+        def half(du, dv, mask):
+            B1 = b1 + nb(du)
+            du = jnp.where(mask, (1 - omega) * du + (omega / A11) * (B1 - a12 * dv), du)
+            B2 = b2 + nb(dv)
+            dv = jnp.where(mask, (1 - omega) * dv + (omega / A22) * (B2 - a12 * du), dv)
+            return du, dv
+
+        def body(_, c):
+            du, dv = c
+            du, dv = half(du, dv, red)
+            du, dv = half(du, dv, ~red)
+            return du, dv
+
+        return jax.lax.fori_loop(0, iters, body, (du, dv))
+
+    def half1(du, mask):
+        B1 = b1 + nb(du)
+        return jnp.where(mask, (1 - omega) * du + (omega / A11) * B1, du)
+
+    def body1(_, du):
+        du = half1(du, red)
+        du = half1(du, ~red)
+        return du
+
+    return jax.lax.fori_loop(0, iters, body1, du), dv
+
+
+def _warp_2d(src_tile, wx, wy, y0, x0, ty0, tx0, w, h):
+    """Warp a (th, tw) flow tile against a halo'd raw image tile whose row 0
+    sits at (ty0, tx0) of the global raw level.  Taps are clamped globally
+    (reference semantics) then into the tile (exact when |flow| <= the halo
+    width — the max_disp contract)."""
+    th, tw = wx.shape
+    lth, ltw = src_tile.shape[:2]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0
+    ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0
+    xx = ii.astype(jnp.float32) + wx
+    yy = jj.astype(jnp.float32) + wy
+    x = jnp.floor(xx)
+    y = jnp.floor(yy)
+    dx = (xx - x)[..., None]
+    dy = (yy - y)[..., None]
+    mask = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1)).astype(jnp.float32)
+    x1 = jnp.clip(jnp.clip(x.astype(jnp.int32), 0, w - 1) - tx0, 0, ltw - 1)
+    x2 = jnp.clip(jnp.clip(x.astype(jnp.int32) + 1, 0, w - 1) - tx0, 0, ltw - 1)
+    y1 = jnp.clip(jnp.clip(y.astype(jnp.int32), 0, h - 1) - ty0, 0, lth - 1)
+    y2 = jnp.clip(jnp.clip(y.astype(jnp.int32) + 1, 0, h - 1) - ty0, 0, lth - 1)
+    flat = src_tile.reshape(-1, src_tile.shape[2])
+    g = lambda yi, xi: jnp.take(flat, yi * ltw + xi, axis=0)
+    dst = (
+        g(y1, x1) * (1 - dx) * (1 - dy)
+        + g(y1, x2) * dx * (1 - dy)
+        + g(y2, x1) * (1 - dx) * dy
+        + g(y2, x2) * dx * dy
+    )
+    return dst, mask
+
+
+def _get_derivatives_2d(im1, im2w, ay, ax):
+    mean = 0.5 * (im1 + im2w)
+    iz = im2w - im1
+    ix = _conv_h_sharded(mean, rf.DERIV5, ax)
+    iy = _conv_v_sharded(mean, rf.DERIV5, ay)
+    ixx = _conv_h_sharded(ix, rf.DERIV5, ax)
+    ixy = _conv_v_sharded(ix, rf.DERIV5, ay)
+    iyy = _conv_v_sharded(iy, rf.DERIV5, ay)
+    ixz = _conv_h_sharded(iz, rf.DERIV5, ax)
+    iyz = _conv_v_sharded(iz, rf.DERIV5, ay)
+    return ix, iy, iz, ixx, ixy, iyy, ixz, iyz
+
+
+def _refine_level_2d(flow_tile, im1_tile, im2_tile, y0, x0, ty0, tx0,
+                     level, cfg, ay, ax, w, h):
+    """refine_level on a 2-D tile; im1 tile is interior-only (halo via
+    exchange), im2 tile is halo'd for the warp."""
+    nop = cfg.nop
+    n_inner = cfg.tv_innerit * (level + 1)
+    qa = 0.25 * cfg.tv_alpha
+    hd3 = cfg.tv_delta * 0.5 / 3.0
+    hg3 = cfg.tv_gamma * 0.5 / 3.0
+
+    wx = flow_tile[..., 0]
+    wy = flow_tile[..., 1] if nop == 2 else jnp.zeros_like(wx)
+    im2w, mask = _warp_2d(im2_tile, wx, wy, y0, x0, ty0, tx0, w, h)
+    derivs = _get_derivatives_2d(im1_tile, im2w, ay, ax)
+
+    du = jnp.zeros_like(wx)
+    dv = jnp.zeros_like(wx)
+    uu, vv = wx, wy
+    for _ in range(n_inner):
+        wh, wv_ = _smoothness_2d(uu, vv, qa, ay, ax)
+        a11, a12, a22, b1, b2 = rf.compute_data(du, dv, mask, derivs, hd3, hg3, nop)
+        b1 = _sub_laplacian_2d(b1, wx, wh, wv_, ay, ax)
+        if nop == 2:
+            b2 = _sub_laplacian_2d(b2, wy, wh, wv_, ay, ax)
+        du, dv = _sor_rb_2d(du, dv, a11, a12, a22, b1, b2, wh, wv_,
+                            cfg.tv_solverit, cfg.tv_sor, ay, ax, nop)
+        if nop == 2:
+            uu = wx + du
+            vv = wy + dv
+        else:
+            if cfg.camlr == 0:
+                uu = jnp.minimum(wx + du, 0.0)
+            else:
+                uu = jnp.maximum(wx + du, 0.0)
+    if nop == 2:
+        return jnp.stack([uu, vv], axis=-1)
+    return uu[..., None]
+
+
+def _halo_reduce_2d(acc, k, ay, ax):
+    """Fold a tile-local splat's k-wide border accumulations into the
+    neighbors (2-pass: x then y propagates corners).  acc (th+2k, tw+2k, K);
+    edge-tile outer borders (out-of-image footprints) are dropped — exactly
+    the reference's global bounds check."""
+    iy, ny = _axis_info(ay)
+    ix, nx = _axis_info(ax)
+    to_right = jax.lax.ppermute(acc[:, -k:], ax, [(i, i + 1) for i in range(nx - 1)])
+    to_left = jax.lax.ppermute(acc[:, :k], ax, [(i + 1, i) for i in range(nx - 1)])
+    acc = acc.at[:, k : 2 * k].add(jnp.where(ix == 0, 0.0, to_right))
+    acc = acc.at[:, -2 * k : -k].add(jnp.where(ix == nx - 1, 0.0, to_left))
+    to_bot = jax.lax.ppermute(acc[-k:], ay, [(i, i + 1) for i in range(ny - 1)])
+    to_top = jax.lax.ppermute(acc[:k], ay, [(i + 1, i) for i in range(ny - 1)])
+    acc = acc.at[k : 2 * k].add(jnp.where(iy == 0, 0.0, to_bot))
+    acc = acc.at[-2 * k : -k].add(jnp.where(iy == ny - 1, 0.0, to_top))
+    return acc[k:-k, k:-k]
+
+
+def _level_2d(im1p, dx1p, dy1p, im2p, raw1, raw2, flow_prev, own_idx, own_valid,
+              sl, lw, lh, cfg, ay, ax, max_disp):
+    """One pyramid level with TILED level images.  Inputs im*/raw* are the
+    full (replicated) level arrays; each device dynamic-slices its halo'd
+    tile and never touches the rest (the slices are the only reads, so XLA
+    keeps per-device traffic tile-sized).  flow_prev is the full coarser
+    flow (replicated); returns the full flow (all_gathered)."""
+    pad = cfg.patch_size
+    psz = cfg.patch_size
+    nop = cfg.nop
+    iy, ny = _axis_info(ay)
+    ix, nx = _axis_info(ax)
+    th, tw = lh // ny, lw // nx
+    y0 = iy * th
+    x0 = ix * tw
+    hp_g, wp_g = lh + 2 * pad, lw + 2 * pad
+    H = psz + int(np.ceil(max_disp)) + 2
+
+    # --- halo'd padded-image tiles (frame origin in global padded coords) ---
+    sy0 = jnp.clip(y0 + pad - H, 0, hp_g - (th + 2 * H))
+    sx0 = jnp.clip(x0 + pad - H, 0, wp_g - (tw + 2 * H))
+    c = im1p.shape[2]
+
+    def tile_of(img):
+        return jax.lax.dynamic_slice(img, (sy0, sx0, 0), (th + 2 * H, tw + 2 * H, c))
+
+    geo = level_geometry(lw, lh, cfg)
+    pt_full = jnp.asarray(geo.pt_ref)
+    own_idx = own_idx.reshape(-1)
+    own_valid = own_valid.reshape(-1)
+    pt_own = jnp.where(
+        own_valid[:, None], jnp.take(pt_full, own_idx, axis=0), -1e6
+    )
+    if flow_prev is None:
+        p_init = jnp.zeros((own_idx.shape[0], nop), jnp.float32)
+    else:
+        cidx = jnp.take(jnp.asarray(geo.coarse_idx), own_idx)
+        p_init = 2.0 * flow_prev.reshape(-1, nop)[cidx]
+        p_init = jnp.clip(p_init, -max_disp, max_disp)  # the max_disp contract
+
+    tmpl = build_templates(
+        tile_of(im1p), tile_of(dx1p), tile_of(dy1p), pt_own, cfg, pad,
+        tile_origin=(sy0, sx0),
+    )
+    res = optimize_level(
+        tile_of(im2p), tmpl, pt_own, p_init, cfg, lw, lh, pad,
+        tile=(sy0, sx0, hp_g, wp_g),
+    )
+
+    # --- tile-local densify + halo reduce (no full-image psum) ---
+    ks = psz
+    pt_loc = pt_own - jnp.stack(
+        [x0.astype(jnp.float32) - ks, y0.astype(jnp.float32) - ks]
+    )[None, :]
+    we, fo = splat_forward_scatter(
+        res.p, res.pweight, pt_loc, tw + 2 * ks, th + 2 * ks, cfg
+    )
+    acc = jnp.concatenate(
+        [we[:, None], fo], axis=1
+    ).reshape(th + 2 * ks, tw + 2 * ks, 1 + nop)
+    acc = _halo_reduce_2d(acc, ks, ay, ax)
+    we = acc[..., 0]
+    safe = jnp.where(we > 0, we, 1.0)
+    flow = jnp.where((we > 0)[..., None], acc[..., 1:] / safe[..., None], 0.0)
+
+    if cfg.use_tv_refine:
+        # Warp-source tile: halo H, clamped to the raw level size (the warp
+        # clamps taps into whatever extent it gets — max_disp contract).
+        rth = min(th + 2 * H, lh)
+        rtw = min(tw + 2 * H, lw)
+        ry0 = jnp.clip(y0 - (rth - th) // 2, 0, lh - rth)
+        rx0 = jnp.clip(x0 - (rtw - tw) // 2, 0, lw - rtw)
+        im1_t = jax.lax.dynamic_slice(raw1, (y0, x0, 0), (th, tw, c))
+        im2_t = jax.lax.dynamic_slice(raw2, (ry0, rx0, 0), (rth, rtw, c))
+        flow = _refine_level_2d(
+            flow, im1_t, im2_t, y0, x0, ry0, rx0, sl, cfg, ay, ax, lw, lh
+        )
+
+    flow = jax.lax.all_gather(flow, ax, axis=1, tiled=True)
+    flow = jax.lax.all_gather(flow, ay, axis=0, tiled=True)
+    return flow
+
+
+def _pair_2d(img1p, img2p, own, cfg, ay, ax, max_disp):
+    """Coarse-to-fine flow for one padded pair on a (ty, tx) tile mesh.
+    Levels that don't tile evenly (or use fb-merge) fall back to the exact
+    replicated pipeline; `own` maps level -> (idx, valid) patch-ownership
+    arrays (sharded over the mesh)."""
+    h, w = img1p.shape[:2]
+    pad = cfg.patch_size
+    ny = int(jax.lax.axis_size(ay))
+    nx = int(jax.lax.axis_size(ax))
+    im1s, dx1s, dy1s = pyr.build_pyramid(img1p, cfg.sc_f + 1, pad)
+    im2s, dx2s, dy2s = pyr.build_pyramid(img2p, cfg.sc_f + 1, pad)
+    flow = None
+    flow_bw = None
+    for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
+        lw, lh = w >> sl, h >> sl
+        raw1 = im1s[sl][pad:-pad, pad:-pad]
+        raw2 = im2s[sl][pad:-pad, pad:-pad]
+        if f"lv{sl}" in own:
+            flow = _level_2d(
+                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], raw1, raw2,
+                flow, own[f"lv{sl}"][0], own[f"lv{sl}"][1],
+                sl, lw, lh, cfg, ay, ax, max_disp,
+            )
+        else:
+            flow, flow_bw = _level_flow(
+                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], dx2s[sl], dy2s[sl],
+                flow, flow_bw, sl, lw, lh, cfg, raw1, raw2,
+            )
+    return flow
+
+
+def spatial_flow_tiled(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    cfg: DISConfig,
+    mesh: Mesh,
+    axes: Tuple[str, str] = ("ty", "tx"),
+    max_disp: float = 8.0,
+) -> jnp.ndarray:
+    """Flow/disparity for ONE pair spatially tiled over a 2-D (ty, tx) mesh
+    with tiled level images (module-header contract: warm-start displacement
+    clamped to +-max_disp in the tiled levels)."""
+    if img1.ndim == 2:
+        img1, img2 = img1[..., None], img2[..., None]
+    h, w = img1.shape[:2]
+    if w % (1 << cfg.sc_f) or h % (1 << cfg.sc_f):
+        raise ValueError("inputs must be padded to divisibility by 2^sc_f")
+    ay, ax = axes
+    ny, nx = mesh.shape[ay], mesh.shape[ax]
+    psz = cfg.patch_size
+    H = psz + int(np.ceil(max_disp)) + 2
+
+    # Static patch-ownership tables per tileable level.
+    own = {}
+    specs = {}
+    for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
+        lw, lh = w >> sl, h >> sl
+        th, tw = lh // ny, lw // nx
+        tileable = (
+            lh % ny == 0 and lw % nx == 0
+            and lh + 2 * psz >= th + 2 * H and lw + 2 * psz >= tw + 2 * H
+            and th >= psz and tw >= psz
+            and not cfg.use_fb_merge
+        )
+        if not tileable:
+            continue
+        geo = level_geometry(lw, lh, cfg)
+        if geo.n_patches == 0:
+            continue
+        ty = np.clip(geo.pt_ref[:, 1].astype(np.int64) // th, 0, ny - 1)
+        tx = np.clip(geo.pt_ref[:, 0].astype(np.int64) // tw, 0, nx - 1)
+        owner = ty * nx + tx
+        counts = np.bincount(owner, minlength=ny * nx)
+        kmax = max(int(counts.max()), 1)
+        idx = np.zeros((ny, nx, kmax), np.int32)
+        valid = np.zeros((ny, nx, kmax), bool)
+        for t in range(ny * nx):
+            mine = np.nonzero(owner == t)[0]
+            idx[t // nx, t % nx, : mine.size] = mine
+            valid[t // nx, t % nx, : mine.size] = True
+        own[f"lv{sl}"] = (jnp.asarray(idx), jnp.asarray(valid))
+        specs[f"lv{sl}"] = (P(ay, ax, None), P(ay, ax, None))
+
+    fn = jax.shard_map(
+        functools.partial(_pair_2d, cfg=cfg, ay=ay, ax=ax, max_disp=max_disp),
+        mesh=mesh,
+        in_specs=(P(), P(), specs),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32), own)

@@ -3,12 +3,16 @@
 
 Two measurements, emitted as bench_scaling.json + a markdown table:
 
-1. Device scaling on the N-device virtual CPU mesh (the only multi-device
-   surface available in this image — multi-chip ICI behaves strictly better
-   than the shared-memory emulation): weak-scaling throughput of the
-   data-parallel path (batched_flow over the 'data' axis) and of the 2-D
-   (data, tx) path (flow_2d) at N = 1, 2, 4, 8 devices, efficiency relative
-   to N=1.
+1. Sharding-overhead scaling on the 8-virtual-device CPU mesh (the only
+   multi-device surface in this image).  CAVEAT on methodology: XLA:CPU uses
+   ONE shared intra-op thread pool for all virtual devices, so a weak-scaling
+   curve would just measure core oversubscription, not the framework.  We
+   therefore hold TOTAL work and the pool constant (device_count=8 always,
+   batch=8) and vary only how many devices the batch is sharded over:
+   ideal = flat runtime; any slowdown is sharding overhead (collectives,
+   shard_map partitioning).  efficiency = T(1 dev)/T(n dev).  On real
+   multi-chip hardware each device brings its own cores/ICI, so this
+   overhead share upper-bounds the true efficiency loss.
 2. Batch scaling on the real accelerator (if present): sustained pairs/s at
    B = 1..16, Sintel resolution, op2 — the single-chip utilization curve.
 
@@ -32,6 +36,8 @@ import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/of_dis_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 mode, n, b = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
@@ -53,27 +59,28 @@ else:
     run = lambda: flow_2d(a, bb, cfg, mesh)
 
 np.asarray(run())  # compile
-best = 0.0
-for _ in range(3):
+best = float("inf")
+for _ in range(4):
     t0 = time.perf_counter()
     np.asarray(run())
-    best = max(best, b / (time.perf_counter() - t0))
-print(json.dumps({"mode": mode, "n": n, "b": b, "pairs_per_s": best}))
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"mode": mode, "n": n, "b": b, "seconds": best}))
 """
 
 
 def virtual_mesh_points():
     rows = []
+    base = None
     for mode in ("data", "2d"):
-        base = None
         for n in (1, 2, 4, 8):
             if mode == "2d" and n == 1:
                 continue
-            b = 2 * n  # weak scaling: work per device constant
+            b = 8  # constant total work; only the sharding degree varies
             env = dict(
                 os.environ,
                 JAX_PLATFORMS="cpu",
-                XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+                # constant pool: always 8 virtual devices, shard over n
+                XLA_FLAGS="--xla_force_host_platform_device_count=8",
             )
             out = subprocess.run(
                 [sys.executable, "-c", _CHILD, mode, str(n), str(b)],
@@ -83,16 +90,13 @@ def virtual_mesh_points():
                 print(f"{mode} n={n}: FAILED\n{out.stderr[-1500:]}")
                 continue
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            per_dev = r["pairs_per_s"] / n
             if mode == "data" and n == 1:
-                base = per_dev
-            if base is None:  # 2d baseline: reuse data n=1
-                base = next(x["per_dev"] for x in rows if x["mode"] == "data" and x["n"] == 1)
-            r["per_dev"] = per_dev
-            r["efficiency"] = per_dev / base
+                base = r["seconds"]
+            r["efficiency"] = base / r["seconds"] if base else None
             rows.append(r)
-            print(f"{mode:4s} n={n}: {r['pairs_per_s']:8.2f} pairs/s "
-                  f"({per_dev:.2f}/dev, eff {r['efficiency']*100:.0f}%)")
+            eff = f"{r['efficiency']*100:.0f}%" if r["efficiency"] else "-"
+            print(f"{mode:4s} n={n}: {r['seconds']*1e3:8.1f} ms for B=8 "
+                  f"(overhead-adjusted efficiency {eff})")
     return rows
 
 
@@ -146,11 +150,11 @@ def main():
         json.dump(result, f, indent=1)
     print("wrote", os.path.abspath(out))
 
-    print("\n| path | devices | pairs/s | per-dev | efficiency |")
-    print("|---|---|---|---|---|")
+    print("\n| path | shard degree | ms (B=8, fixed pool) | efficiency |")
+    print("|---|---|---|---|")
     for r in result["virtual_cpu_mesh"]:
-        print(f"| {r['mode']} | {r['n']} | {r['pairs_per_s']:.2f} "
-              f"| {r['per_dev']:.2f} | {r['efficiency']*100:.0f}% |")
+        eff = f"{r['efficiency']*100:.0f}%" if r.get("efficiency") else "-"
+        print(f"| {r['mode']} | {r['n']} | {r['seconds']*1e3:.1f} | {eff} |")
 
 
 if __name__ == "__main__":

@@ -88,3 +88,29 @@ def test_spatial_stereo_matches_single_device(ntx):
     np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-3)
     inner = sharded[16:-16, 16:-16, 0]
     assert abs(np.median(inner) - (-3.0)) < 0.15
+
+
+def test_spatial_flow_tiled_2d_matches_single_device(smooth_pair):
+    """The 2-D (ty, tx) tiled pipeline — tiled level images, halo'd window
+    gathers, tile-local densify with halo reduce, 2-D refinement stencils —
+    must equal the single-device result when motion is under the max_disp
+    contract (here |flow| ~ 3.6 px << 8)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from of_dis_tpu.parallel.spatial import spatial_flow_tiled
+
+    img1, img2, (tu, tv) = smooth_pair  # 96 x 128
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=True, tv_solverit=2,
+    ).validate()
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("ty", "tx"))
+    tiled = np.asarray(spatial_flow_tiled(img1, img2, cfg, mesh))
+    from of_dis_tpu.models.dis import dis_padded_jit
+
+    single = np.asarray(dis_padded_jit(jnp.asarray(img1[..., None]),
+                                       jnp.asarray(img2[..., None]), cfg))
+    np.testing.assert_allclose(tiled, single, rtol=1e-3, atol=1e-3)
+    inner = tiled[16:-16, 16:-16]
+    assert abs(np.median(inner[..., 0]) - tu) < 0.15
+    assert abs(np.median(inner[..., 1]) - tv) < 0.15
