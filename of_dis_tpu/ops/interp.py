@@ -63,6 +63,14 @@ def extract_int_matmul(
 # to bound the band at chunk*sy*Wp*C floats per (vmapped-batch) step.
 GATHER_CHUNK = int(os.environ.get("OF_DIS_GATHER_CHUNK", 1024))
 
+# FLOP ceiling for the one-hot-matmul band fetch.  Measured: raising it to
+# cover the op1 finest level (1.4 GFLOP) made op1 13x SLOWER — the one-hot
+# R matrix (Hp x sy*N, 86 MB at B=16) is bandwidth-heavy and the f32 MXU
+# product loses badly to the segmented row take despite the saved transpose.
+BAND_MATMUL_MAX_FLOPS = int(
+    os.environ.get("OF_DIS_BAND_MATMUL_MAX_FLOPS", 20_000_000_000 // 32)
+)
+
 
 def gather_windows_rows(
     img: jnp.ndarray,    # (Hp, Wp, C) padded level image
@@ -97,7 +105,7 @@ def gather_windows_rows(
 def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
     hp, wp, c = img.shape
     n = by.shape[0]
-    if n * sy * hp * wp * c * 2 <= 20_000_000_000 // 32:
+    if n * sy * hp * wp * c * 2 <= BAND_MATMUL_MAX_FLOPS:
         # Small level: one-hot MXU matmul beats the row gather (element and
         # even row gathers are latency-bound at ~8 ns/row on TPU), and the
         # transposed product (Wp*C, Hp) @ (Hp, sy*N) lands the band in the
@@ -109,23 +117,31 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
             img.reshape(hp, wp * c).T, R, preferred_element_type=jnp.float32
         ).reshape(wp, c, sy, n)  # (Wp, C, sy, N)
     elif sx <= 31 and wp > 256:
-        # Wide level: gather 2 covering 32-px segments per window row
-        # instead of full rows — 2x the row count but Wp/64x less data, and
-        # no full-width band ever materializes (the band transpose copy
-        # dominated the op3/op4 window build).
-        seg = 32
-        nseg = -(-wp // seg) + 1
-        imgp = jnp.pad(img, ((0, 0), (0, nseg * seg - wp), (0, 0)))
-        segv = imgp.reshape(hp * nseg, seg * c)
-        seg0 = bx // seg
-        idx = (
-            (by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :])[:, :, None] * nseg
-            + seg0[:, None, None]
-            + jnp.arange(2, dtype=jnp.int32)[None, None, :]
-        )  # (N, sy, 2)
-        band = jnp.take(segv, idx.reshape(-1), axis=0)
-        band = band.reshape(n, sy, 2 * seg, c).transpose(2, 3, 1, 0)  # (64, C, sy, N)
-        bx = bx - seg0 * seg  # in [0, 32)
+        # Wide level: ONE covering 128-px overlapping segment per window row
+        # (64-px stride, so any <=64-px window fits a single segment) instead
+        # of full rows — Wp/128x less data than full rows, half the take
+        # rows of the earlier 2x32-px formulation, and every downstream op
+        # runs on full 128-wide vector lanes (the 32-wide chain measured
+        # ~25% lane utilization and dominated the op3/op4 window build).
+        stride, segw = 64, 128
+        n64 = -(-wp // stride) + 1
+        imgp = jnp.pad(img, ((0, 0), (0, n64 * stride - wp), (0, 0)))
+        v = imgp.reshape(hp, n64, stride * c)
+        segv = jnp.concatenate(
+            [v, jnp.roll(v, -1, axis=1)], axis=-1
+        ).reshape(hp * n64, segw * c)  # row (y, k) = img[y, 64k : 64k+128]
+        seg0 = bx // stride
+        idx = (by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]) * n64 + seg0[:, None]
+        band = jnp.take(segv, idx.reshape(-1), axis=0)  # (N*sy, 128c)
+        bxr = bx - seg0 * stride  # in [0, 64)
+        # Pre-transpose coarse select: the 64-px aligned-32 subband that
+        # covers [bxr, bxr+sx) (sx<=31, so base 32*(bxr//32) always works) —
+        # halves the patches-last transpose volume.
+        b32 = (bxr // 32)[:, None, None, None].astype(jnp.int32)
+        bv = band.reshape(n, sy, segw, c)
+        band = jnp.where(b32 == 0, bv[:, :, :64], bv[:, :, 32:96])
+        band = band.transpose(2, 3, 1, 0)  # (64, C, sy, N)
+        bx = bxr - 32 * (bxr // 32)  # in [0, 32)
         wp = 64
     else:
         rows = by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]  # (N, sy)
