@@ -122,7 +122,9 @@ def tpu_batch_curve():
         a = jnp.asarray(rng.rand(b, Hp, W, 1).astype(np.float32) * 255)
         bb = jnp.asarray(rng.rand(b, Hp, W, 1).astype(np.float32) * 255)
         np.asarray(_batched_padded(a, bb, cfg))
-        nq = max(4, 64 // b)
+        # Queue deep enough to hide the remote-dispatch latency at every
+        # batch size (nq=4 measured 3.5x under the sustained rate at B=16).
+        nq = max(24, 128 // b)
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
