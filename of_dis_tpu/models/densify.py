@@ -152,7 +152,7 @@ def aggregate_flow_dense(
     flow = acc[..., 1:].reshape(npx, nop)
 
     if bw_result is not None:
-        we, flow = _merge_backward(we, flow, bw_result, geo, cfg)
+        we, flow = merge_backward(we, flow, bw_result, w, h, cfg)
 
     # Normalize (patchgrid.cpp:377-394); untouched pixels stay 0.
     safe = jnp.where(we > 0.0, we, 1.0)
@@ -160,10 +160,11 @@ def aggregate_flow_dense(
     return flow.reshape(h, w, nop)
 
 
-def _merge_backward(we, flow, bw: SearchResult, geo: LevelGeometry, cfg: DISConfig):
+def merge_backward(we, flow, bw: SearchResult, w: int, h: int, cfg: DISConfig):
     """Splat negated backward flow with bilinear weights at the converged
-    backward query position (patchgrid.cpp:277-375)."""
-    w, h = geo.w, geo.h
+    backward query position (patchgrid.cpp:277-375).  `bw` may be any patch
+    subset (the spatially-sharded path merges per-device shards, then psums).
+    """
     psz = cfg.patch_size
     lb = -(psz // 2)
     npx = w * h

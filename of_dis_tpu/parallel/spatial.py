@@ -245,8 +245,12 @@ def _get_derivatives_sharded(im1, im2w, axis):
     return ix, iy, iz, ixx, ixy, iyy, ixz, iyz
 
 
-def _refine_level_sharded(flow_strip, im1_strip, im2_full, level, cfg, axis):
-    """refine_level on a column strip; im2 replicated for the warp."""
+def _refine_level_sharded(flow_strip, im1_strip, im2_full, level, cfg, axis,
+                          camlr=None):
+    """refine_level on a column strip; im2 replicated for the warp.  camlr
+    overrides cfg.camlr for the backward (fb-merge) stereo grid."""
+    if camlr is None:
+        camlr = cfg.camlr
     nop = cfg.nop
     n_inner = cfg.tv_innerit * (level + 1)
     qa = 0.25 * cfg.tv_alpha
@@ -281,7 +285,7 @@ def _refine_level_sharded(flow_strip, im1_strip, im2_full, level, cfg, axis):
                 du, a11, b1, wh, wv_, cfg.tv_solverit, cfg.tv_sor, axis
             )
             # Disparity sign clamp (refine_variational.cpp:299-314).
-            if cfg.camlr == 0:
+            if camlr == 0:
                 uu = jnp.minimum(wx + du, 0.0)
             else:
                 uu = jnp.maximum(wx + du, 0.0)
@@ -294,21 +298,53 @@ def _refine_level_sharded(flow_strip, im1_strip, im2_full, level, cfg, axis):
 # Sharded level pipeline: patch shard -> psum densify -> strip refine
 # ---------------------------------------------------------------------------
 
-def _level_manual(im_a, dx_a, dy_a, im_b, flow_prev, sl, w, h, cfg, axis):
+def _shard_of(full, rank, k):
+    return jax.lax.dynamic_slice_in_dim(full, rank * k, k, axis=0)
+
+
+def _densify_psum(res, res_other, pt_shard, w, h, cfg, axis):
+    """Shard splat (+ optional fb merge of the other direction's shard) into
+    a full-size accumulator, psum over the mesh, normalize."""
+    we, fo = splat_forward_scatter(res.p, res.pweight, pt_shard, w, h, cfg)
+    if res_other is not None:
+        from ..models.densify import merge_backward
+
+        we, fo = merge_backward(we, fo, res_other, w, h, cfg)
+    we = jax.lax.psum(we, axis)
+    fo = jax.lax.psum(fo, axis)
+    safe = jnp.where(we > 0, we, 1.0)
+    return jnp.where((we > 0)[:, None], fo / safe[:, None], 0.0).reshape(h, w, cfg.nop)
+
+
+def _refine_strip(flow, im_src, im_tgt, sl, cfg, axis, rank, camlr):
+    """Slice this device's column strip, refine it against the (replicated)
+    target image, and gather the full field back."""
+    wl = flow.shape[1] // int(jax.lax.axis_size(axis))
+    strip = jax.lax.dynamic_slice_in_dim(flow, rank * wl, wl, axis=1)
+    src_strip = jax.lax.dynamic_slice_in_dim(im_src, rank * wl, wl, axis=1)
+    strip = _refine_level_sharded(strip, src_strip, im_tgt, sl, cfg, axis, camlr)
+    return jax.lax.all_gather(strip, axis, axis=1, tiled=True)
+
+
+def _level_manual(im_a, dx_a, dy_a, im_b, dx_b, dy_b, flow_prev, flow_bw_prev,
+                  sl, w, h, cfg, axis):
     """One pyramid level inside a manual (shard_map) region: patch shard ->
-    psum densify -> strip refinement -> all_gather.  Mirrors
-    the per-device level body, callable from ANY shard_map
-    whose mesh has `axis` (e.g. the 2-D (data, tx) mesh)."""
+    psum densify (incl. fb merge) -> strip refinement -> all_gather.
+    Mirrors models/dis.py::_level_flow per-device, callable from ANY
+    shard_map whose mesh has `axis` (e.g. the 2-D (data, tx) mesh).
+    Returns (flow, flow_bw or None)."""
     rank = jax.lax.axis_index(axis)
     ntx = int(jax.lax.axis_size(axis))  # static under shard_map
     pad = cfg.patch_size
     geo = level_geometry(w, h, cfg)
     n = geo.n_patches
 
-    if flow_prev is None:
-        p_init_full = jnp.zeros((n, cfg.nop), jnp.float32)
-    else:
-        p_init_full = 2.0 * flow_prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
+    def init_full(prev):
+        if prev is None:
+            return jnp.zeros((n, cfg.nop), jnp.float32)
+        return 2.0 * prev.reshape(-1, cfg.nop)[jnp.asarray(geo.coarse_idx)]
+
+    p_init_full = init_full(flow_prev)
     pt_full = jnp.asarray(geo.pt_ref)
 
     # Local patch shard (pad to a multiple of the axis size; padded lanes
@@ -318,30 +354,41 @@ def _level_manual(im_a, dx_a, dy_a, im_b, flow_prev, sl, w, h, cfg, axis):
         pt_full = jnp.concatenate([pt_full, jnp.full((npad, 2), -1e6, jnp.float32)])
         p_init_full = jnp.pad(p_init_full, ((0, npad), (0, 0)))
     k = (n + npad) // ntx
-    pt_shard = jax.lax.dynamic_slice_in_dim(pt_full, rank * k, k, axis=0)
-    p_init = jax.lax.dynamic_slice_in_dim(p_init_full, rank * k, k, axis=0)
+    pt_shard = _shard_of(pt_full, rank, k)
+    p_init = _shard_of(p_init_full, rank, k)
 
     tmpl = build_templates(im_a, dx_a, dy_a, pt_shard, cfg, pad)
     res = optimize_level(im_b, tmpl, pt_shard, p_init, cfg, w, h, pad)
 
+    res_bw = None
+    if cfg.use_fb_merge:
+        # Backward grid: swapped images, flipped camera (oflow.cpp:154-157).
+        p_init_bw_full = init_full(flow_bw_prev)
+        if npad:
+            p_init_bw_full = jnp.pad(p_init_bw_full, ((0, npad), (0, 0)))
+        tmpl_bw = build_templates(im_b, dx_b, dy_b, pt_shard, cfg, pad)
+        res_bw = optimize_level(
+            im_a, tmpl_bw, pt_shard, _shard_of(p_init_bw_full, rank, k),
+            cfg, w, h, pad, camlr=1 - cfg.camlr,
+        )
+
     # Per-device densification into a full-size accumulator + psum
     # (deterministic; replaces the reference's racy OpenMP scatter).
     # Splat numerics live in ONE place: models/densify.py.
-    we, fo = splat_forward_scatter(res.p, res.pweight, pt_shard, w, h, cfg)
-    we = jax.lax.psum(we, axis)
-    fo = jax.lax.psum(fo, axis)
-    safe = jnp.where(we > 0, we, 1.0)
-    flow = jnp.where((we > 0)[:, None], fo / safe[:, None], 0.0).reshape(h, w, cfg.nop)
+    flow = _densify_psum(res, res_bw, pt_shard, w, h, cfg, axis)
+    flow_bw = None
+    if cfg.use_fb_merge and sl > cfg.sc_l:
+        flow_bw = _densify_psum(res_bw, res, pt_shard, w, h, cfg, axis)
 
     if cfg.use_tv_refine:
-        wl = w // ntx
-        strip = jax.lax.dynamic_slice_in_dim(flow, rank * wl, wl, axis=1)
         raw1 = im_a[pad:-pad, pad:-pad]
         raw2 = im_b[pad:-pad, pad:-pad]
-        raw1_strip = jax.lax.dynamic_slice_in_dim(raw1, rank * wl, wl, axis=1)
-        strip = _refine_level_sharded(strip, raw1_strip, raw2, sl, cfg, axis)
-        flow = jax.lax.all_gather(strip, axis, axis=1, tiled=True)
-    return flow
+        flow = _refine_strip(flow, raw1, raw2, sl, cfg, axis, rank, cfg.camlr)
+        if flow_bw is not None:
+            flow_bw = _refine_strip(
+                flow_bw, raw2, raw1, sl, cfg, axis, rank, 1 - cfg.camlr
+            )
+    return flow, flow_bw
 
 
 def _pair_manual(img1p, img2p, cfg, axis):
@@ -358,17 +405,11 @@ def _pair_manual(img1p, img2p, cfg, axis):
     flow_bw = None
     for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
         lw, lh = w >> sl, h >> sl
-        sharded_ok = (
-            lw % ntx == 0 and lw >= 2 * ntx
-            # fb-merge needs the backward search + fb-weighted densify,
-            # which _level_manual does not implement; run the exact
-            # replicated pipeline instead of silently diverging from
-            # dis_flow (round-1 advisor finding).
-            and not cfg.use_fb_merge
-        )
+        sharded_ok = lw % ntx == 0 and lw >= 2 * ntx
         if sharded_ok:
-            flow = _level_manual(
-                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], flow, sl, lw, lh, cfg, axis
+            flow, flow_bw = _level_manual(
+                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], dx2s[sl], dy2s[sl],
+                flow, flow_bw, sl, lw, lh, cfg, axis
             )
         else:
             raw1 = im1s[sl][pad:-pad, pad:-pad]

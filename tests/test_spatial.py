@@ -114,3 +114,27 @@ def test_spatial_flow_tiled_2d_matches_single_device(smooth_pair):
     inner = tiled[16:-16, 16:-16]
     assert abs(np.median(inner[..., 0]) - tu) < 0.15
     assert abs(np.median(inner[..., 1]) - tv) < 0.15
+
+
+@pytest.mark.parametrize("ntx", [4])
+def test_spatial_flow_fb_merge_matches_single_device(ntx, smooth_pair):
+    """fb-merge now runs fully sharded (backward search shard + per-device
+    merge splat + psum, backward flow chained and strip-refined) — must
+    equal the dense pipeline."""
+    img1, img2, (tu, tv) = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=True, tv_solverit=2,
+        use_fb_merge=True,
+    ).validate()
+    mesh = tx_mesh(ntx)
+    sharded = np.asarray(spatial_flow(img1, img2, cfg, mesh))
+    from of_dis_tpu.models.dis import dis_padded_jit
+    import jax.numpy as jnp
+
+    single = np.asarray(dis_padded_jit(jnp.asarray(img1[..., None]),
+                                       jnp.asarray(img2[..., None]), cfg))
+    np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-3)
+    inner = sharded[16:-16, 16:-16]
+    assert abs(np.median(inner[..., 0]) - tu) < 0.15
+    assert abs(np.median(inner[..., 1]) - tv) < 0.15
