@@ -30,7 +30,6 @@ deterministic and consistent with the loss.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

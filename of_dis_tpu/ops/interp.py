@@ -21,11 +21,9 @@ Images are padded by `pad` on each side; the optimizer's bounds checks
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def extract_int_matmul(

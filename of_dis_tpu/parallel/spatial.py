@@ -34,7 +34,7 @@ The test invariant for both modes is sharded == single-device
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
