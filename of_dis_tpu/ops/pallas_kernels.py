@@ -788,11 +788,12 @@ def gn_search_pallas(
     # outer dims (free slicing), tiles are fully utilized, and the VMEM
     # working set per program is bounded by the patch-tile size.
     ps = _gn_tiled_ps(sy, sx, psz, c)
-    # Tiled only when the patch count fills at least one (ps, 128) tile:
-    # measured on v5e, forcing small-N levels into the tiled kernel (lane
-    # padding 312->1024 etc.) made op1/op2 2.5x SLOWER — the padding and
-    # per-program fixed costs beat the untiled layout's sublane-slice
-    # relayout overhead at these sizes.
+    # Tiled only when the patch count fills at least one (ps, 128) tile.
+    # Small-N alternatives both measured WORSE than the untiled kernel:
+    # padding up to full (8,128) grid tiles 2.5x slower, and running the
+    # tiled kernel as one whole-array (nbp<8, 128) program ~30% slower
+    # (tiny second-minor dims starve the VPU) — the untiled layout's
+    # sublane-slice relayouts are the cheaper evil below ~1024 patches.
     tiled_ok = ps is not None and (-(-n0 // 128) >= ps)
     if tiled_ok:
         return _gn_search_tiled(
