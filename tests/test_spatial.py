@@ -138,3 +138,31 @@ def test_spatial_flow_fb_merge_matches_single_device(ntx, smooth_pair):
     inner = sharded[16:-16, 16:-16]
     assert abs(np.median(inner[..., 0]) - tu) < 0.15
     assert abs(np.median(inner[..., 1]) - tv) < 0.15
+
+
+def test_spatial_stereo_tiled_2d_matches_single_device():
+    """2-D tiled stereo: scalar SOR on 2-D halo stencils + disparity clamp,
+    tiled level images."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from scipy.ndimage import gaussian_filter
+    from of_dis_tpu.parallel.spatial import spatial_flow_tiled
+
+    rng = np.random.RandomState(5)
+    H, W = 96, 128
+    base = gaussian_filter(rng.rand(H + 16, W + 16).astype(np.float32), 2.5)
+    base = (base - base.min()) / (base.max() - base.min()) * 255
+    img1 = base[8 : 8 + H, 8 : 8 + W].copy()
+    img2 = base[8 : 8 + H, 11 : 11 + W].copy()  # p = -3
+    cfg = DISConfig(
+        mode="stereo", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=True, tv_solverit=2,
+    ).validate()
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("ty", "tx"))
+    tiled = np.asarray(spatial_flow_tiled(img1, img2, cfg, mesh))
+    from of_dis_tpu.models.dis import dis_padded_jit
+
+    single = np.asarray(dis_padded_jit(jnp.asarray(img1[..., None]),
+                                       jnp.asarray(img2[..., None]), cfg))
+    np.testing.assert_allclose(tiled, single, rtol=1e-3, atol=1e-3)
+    assert abs(np.median(tiled[16:-16, 16:-16, 0]) - (-3.0)) < 0.15
