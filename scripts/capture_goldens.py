@@ -196,12 +196,12 @@ def capture_fullres(refbin):
 
     cases = []
 
-    def run(case, binname, in1, in2, ext, op):
+    def run(case, binname, in1, in2, ext, op, extra_args=(), channels=1, fbcon=False):
         out = os.path.join(fdir, case + ext)
         cmd = [
             os.path.join(refbin, binname),
-            os.path.join(fdir, in1), os.path.join(fdir, in2), out, str(op),
-        ]
+            os.path.join(fdir, in1), os.path.join(fdir, in2), out,
+        ] + ([str(op)] if not extra_args else list(extra_args))
         subprocess.run(cmd, check=True, capture_output=True)
         if ext == ".flo":
             ref = of_io.read_flo(out)
@@ -210,12 +210,22 @@ def capture_fullres(refbin):
         np.savez_compressed(os.path.join(fdir, case + ".npz"), ref=ref.astype(np.float16))
         os.remove(out)
         cases.append(dict(case=case, img1=in1, img2=in2, out=case + ".npz", op=op,
-                          mode="flow" if ext == ".flo" else "stereo"))
+                          mode="flow" if ext == ".flo" else "stereo",
+                          channels=channels, fbcon=fbcon))
         print("captured fullres", case)
 
     for op in (1, 2, 3, 4):
         run(f"of_int_op{op}", "run_OF_INT", "of1.png", "of2.png", ".flo", op)
     run("de_int_op2", "run_DE_INT", "de1.png", "de2.png", ".pfm", 2)
+    # RGB (C=3 kernel layouts) and fb-merge (merge splat) at full res — the
+    # two features most entangled with the Pallas kernels' layout handling
+    # (VERDICT r2 item 6; reference QA regime /root/reference/README.md:91-95).
+    run("of_rgb_op2", "run_OF_RGB", "of1.png", "of2.png", ".flo", 2, channels=3)
+    from of_dis_tpu.config import auto_first_scale as afs
+
+    fb_args, _ = explicit_args(afs(FW), usefbcon=1)
+    run("of_int_fbcon", "run_OF_INT", "of1.png", "of2.png", ".flo", 2,
+        extra_args=fb_args, fbcon=True)
 
     with open(os.path.join(fdir, "manifest.json"), "w") as f:
         json.dump(dict(width=FW, height=FH, cases=cases), f, indent=1)

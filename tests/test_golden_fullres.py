@@ -55,3 +55,18 @@ def test_golden_fullres(name, fullres_outputs):
     e = epe(ours, ref)
     assert np.isfinite(e)
     assert e < _TOL, f"{name}: full-res mean EPE {e:.4f} vs reference"
+
+
+def test_pallas_xla_ab(fullres_outputs):
+    """The XLA copies of the GN search + TV inner loop must track the Pallas
+    kernels: the runner recomputes of_int_op2 with all fused kernels off;
+    both paths must hit the golden AND agree with each other (drift guard
+    for the duplicated numerics — SURVEY.md §4 item 2)."""
+    pallas = np.load(os.path.join(fullres_outputs, "of_int_op2.npy"))
+    xla = np.load(os.path.join(fullres_outputs, "of_int_op2__xla.npy"))
+    ref = np.load(os.path.join(FDIR, _CASES["of_int_op2"]["out"]))["ref"].astype(np.float32)
+    assert epe(xla, ref) < _TOL
+    # Mutual agreement: same algorithm, different compilers — only float
+    # reassociation separates them (few-ULP per op; GN trajectory flips on
+    # chaotic patches stay rare on this smooth pair).
+    assert epe(pallas, xla) < 0.05
