@@ -61,6 +61,20 @@ def _cfg_from_params(params, width: int, mode: str, channels: int, camlr: int = 
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even under platform plugins that ignore the env
+    # var at import time (the axon remote-TPU plugin): the config update
+    # still works as long as no backend has been initialized yet.
+    import os
+
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", envp)
+        except Exception:
+            pass
+
     ap = argparse.ArgumentParser(prog="of-dis", description=__doc__)
     ap.add_argument("img1")
     ap.add_argument("img2")

@@ -36,6 +36,15 @@ def _abs_weights(pweight: jnp.ndarray, cfg: DISConfig) -> jnp.ndarray:
     return (1.0 / jnp.sum(pw, axis=3)).reshape(n, psz * psz)
 
 
+def result_absw(res: SearchResult, cfg: DISConfig) -> jnp.ndarray:
+    """Densification weights of a SearchResult: the fused level kernel
+    returns them directly (res.absw); the XLA path derives them from the
+    residual image."""
+    if res.absw is not None:
+        return res.absw
+    return _abs_weights(res.pweight, cfg)
+
+
 def _col2im_accumulate(
     vals: jnp.ndarray,  # (N, psz*psz, K) per-patch per-footprint-pixel values
     geo: LevelGeometry,
@@ -98,7 +107,7 @@ def _col2im_accumulate(
 
 def splat_forward_scatter(
     p: jnp.ndarray,        # (N, nop) per-patch displacement
-    pweight: jnp.ndarray,  # (N, psz, psz, C) residual image
+    absw_in: jnp.ndarray,  # (N, psz*psz) densification weights (result_absw)
     pt: jnp.ndarray,       # (N, 2) patch centers (may include far-OOB pad lanes)
     w: int,
     h: int,
@@ -119,7 +128,7 @@ def splat_forward_scatter(
     xt = pt[:, 0].astype(jnp.int32)[:, None] + ox[None, :]
     valid = ((xt >= 0) & (yt >= 0) & (xt < w) & (yt < h)).astype(jnp.float32)
     idxm = jnp.clip(yt, 0, h - 1) * w + jnp.clip(xt, 0, w - 1)
-    absw = _abs_weights(pweight, cfg) * valid
+    absw = absw_in * valid
     we = jnp.zeros((w * h,), jnp.float32).at[idxm.ravel()].add(absw.ravel())
     contrib = absw[:, :, None] * p[:, None, :]
     flow = jnp.zeros((w * h, p.shape[1]), jnp.float32).at[idxm.ravel()].add(
@@ -143,7 +152,7 @@ def aggregate_flow_dense(
     nop = cfg.nop
     npx = w * h
 
-    absw = _abs_weights(result.pweight, cfg)  # (N, psz²)
+    absw = result_absw(result, cfg)  # (N, psz²)
     # stack [w, w*u, w*v] and overlap-add in one col2im pass
     contrib = absw[:, :, None] * result.p[:, None, :]  # (N, psz², nop)
     vals = jnp.concatenate([absw[:, :, None], contrib], axis=2)
@@ -186,7 +195,7 @@ def merge_backward(we, flow, bw: SearchResult, w: int, h: int, cfg: DISConfig):
     xt = posx[:, None] + ox[None, :]
     valid = ((xt >= 1) & (yt >= 1) & (xt < w - 1) & (yt < h - 1)).astype(jnp.float32)
 
-    absw = _abs_weights(bw.pweight, cfg) * valid  # (N, psz²)
+    absw = result_absw(bw, cfg) * valid  # (N, psz²)
     idxcc = jnp.clip(yt * w + xt, 0, npx - 1)
     # The 4 bilinear cells — cc, (x-1)c, c(y-1), (x-1)(y-1) — folded into
     # ONE scatter-add each for we/flow instead of 8 serialized ones

@@ -133,8 +133,12 @@ def _dis_padded(
         raise ValueError(f"image dims {h}x{w} not divisible by 2^{cfg.sc_f}")
     pad = cfg.patch_size
     n_lv = cfg.sc_f + 1
-    im1s, dx1s, dy1s = pyr.build_pyramid(img1, n_lv, pad, gradmag_input)
-    im2s, dx2s, dy2s = pyr.build_pyramid(img2, n_lv, pad, gradmag_input)
+    im1s, dx1s, dy1s = pyr.build_pyramid(
+        img1, n_lv, pad, gradmag_input, first_level=cfg.sc_l
+    )
+    im2s, dx2s, dy2s = pyr.build_pyramid(
+        img2, n_lv, pad, gradmag_input, first_level=cfg.sc_l
+    )
 
     flow_fw = init_flow  # sized for scale sc_f+1 when provided (oflow.cpp:217-220)
     flow_bw = None

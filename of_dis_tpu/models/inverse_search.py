@@ -61,8 +61,11 @@ class PatchTemplates(NamedTuple):
 class SearchResult(NamedTuple):
     p: jnp.ndarray        # (N, nop) final displacement parameters
     pt: jnp.ndarray       # (N, 2) final query position (pt_ref + displacement)
-    pweight: jnp.ndarray  # (N, psz, psz, C) absolute residual image
+    pweight: jnp.ndarray  # (N, psz, psz, C) absolute residual image, or None
+                          # when absw was produced in-kernel (fused level path)
     converged: jnp.ndarray  # (N,) bool
+    absw: jnp.ndarray = None  # (N, psz*psz) densification weights
+                              # 1/sum_c max(minerrval, |pdiff|), or None
 
 
 def _mean_normalize(patch: jnp.ndarray, enabled: bool) -> jnp.ndarray:
@@ -215,6 +218,35 @@ def optimize_level(
     sy = min(2 * psz + 2, hp)
     sx = min(2 * psz + 2, wp)
 
+    from ..ops.pallas_kernels import (
+        gn_pallas_applicable,
+        gn_search_pallas,
+        level_gn_applicable,
+        level_search_pallas,
+    )
+
+    if tile is None and level_gn_applicable(hp, wp, c, n, psz, sy, sx):
+        # Whole-level fused kernel: window bases, window build (MXU one-hot
+        # row fetch + hierarchical column block-select) and the GN state
+        # machine in ONE program — the level image never re-enters HBM and
+        # the ~10-HLO window chain disappears (its launch gaps were ~45% of
+        # op1 device wall).  Densification weights also come back directly.
+        p_t, pt_t, aw_t, conv = level_search_pallas(
+            jnp.transpose(im_b, (2, 0, 1)),
+            jnp.transpose(tmpl.tmp, (2, 3, 1, 0)),
+            jnp.transpose(tmpl.dx, (2, 3, 1, 0)),
+            jnp.transpose(tmpl.dy, (2, 3, 1, 0)),
+            tmpl.hes.T if nop == 2 else jnp.concatenate(
+                [tmpl.hes.T, jnp.zeros((2, n), jnp.float32)], axis=0
+            ),
+            pt_ref.T, p_init.T,
+            psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
+            hp=hp, wp=wp, cfg=cfg, camlr=camlr,
+        )
+        return SearchResult(
+            p=p_t.T, pt=pt_t.T, pweight=None, converged=conv, absw=aw_t.T
+        )
+
     # ---- OptimizeStart (patch.cpp:120-156) ----
     p_in = p_init
     p_iter = p_init
@@ -242,8 +274,6 @@ def optimize_level(
         by = by_g + tile[0]
         bx = bx_g + tile[1]
     win = gather_windows_rows(im_b, by_g, bx_g, sy, sx)  # (sx, C, sy, N) — patches on lanes
-
-    from ..ops.pallas_kernels import gn_pallas_applicable, gn_search_pallas
 
     if gn_pallas_applicable(sy, sx, psz, c, n):
         # Fused Pallas kernel: the whole state machine in VMEM, tiled over

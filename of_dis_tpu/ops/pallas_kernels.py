@@ -293,14 +293,8 @@ def refine_inner_pallas(wx, wy, mask, derivs, n_inner, solver_it, omega, qa, hd3
 # Fused inverse-compositional Gauss-Newton search (models/inverse_search.py)
 # ---------------------------------------------------------------------------
 
-def _gn_kernel(
-    win_ref,    # (sx, C, sy, N) per-patch windows (patches on lanes)
-    t_ref, dx_ref, dy_ref,   # (psz_i, C, psz_j, N) templates
-    hes_ref,    # (3, N) [h00, h01, h11] (rows 1-2 ignored for stereo)
-    ptref_ref,  # (2, N)
-    pinit_ref,  # (nop, N)
-    by_ref, bx_ref,          # (1, N) int32 window bases (padded coords)
-    p_out, pt_out, pw_out, conv_out,
+def _gn_machine(
+    win, T, DX, DY, hes3, ptref, p_in, by, bx,
     *,
     psz: int, sy: int, sx: int, nop: int, c: int, pad: int,
     w: int, h: int, max_iter: int, min_iter: int,
@@ -308,10 +302,11 @@ def _gn_kernel(
     dp_thresh_sq: float, dr_thresh: float, res_thresh: float,
     outlier_sq: float, stereo_clamp: int,  # -1 none, 0 min(p,0), 1 max(p,0)
 ):
-    """The whole per-level GN state machine in ONE kernel: per-iteration
-    window extraction, loss, 2x2 solve, outlier resets and the reference's
-    convergence predicate (patch.cpp:119-284), with every operand resident
-    in VMEM.  Semantics identical to optimize_level's XLA loop.
+    """The whole per-level GN state machine on VMEM-resident VALUES:
+    per-iteration window extraction, loss, 2x2 solve, outlier resets and the
+    reference's convergence predicate (patch.cpp:119-284).  Semantics
+    identical to optimize_level's XLA loop.  Shared by _gn_kernel (windows
+    gathered by XLA) and _level_kernel (windows built in-kernel).
 
     Extraction is a roll-blend + block-select (cheaper than the XLA two-hot):
     bilinear weights separate per axis, so first blend the WHOLE window
@@ -320,25 +315,22 @@ def _gn_kernel(
     hoisted), then select the psz-row block at integer offset oy with a
     one-hot mask over the sy-psz possible offsets (static sublane slices).
     Repeat along x.  Patch-pixel tensors are laid out (psz_i, C, psz_j, N)
-    so the horizontal block-select lands in the output layout directly."""
+    so the horizontal block-select lands in the output layout directly.
+
+    Shapes: win (sx, C, sy, N); T/DX/DY (psz_i, C, psz_j, N); hes3 (3, N);
+    ptref (2, N); p_in (nop, N); by/bx (1, N) int32.
+    Returns (p (nop,N), pt (2,N), pweight (psz_i,C,psz_j,N), conv (1,N) i32).
+    """
     f32 = jnp.float32
-    n = ptref_ref.shape[1]
+    n = ptref.shape[1]
     lb = -(psz // 2)
     novals = float(c * psz * psz)
 
-    win = win_ref[:]
     win_dn = pltpu.roll(win, sy - 1, 2)   # win[., ., k+1, .] (wrap row unused)
-    T = t_ref[:]
-    DX = dx_ref[:]
-    DY = dy_ref[:]
-    h00 = hes_ref[0:1, :]
-    h01 = hes_ref[1:2, :]
-    h11 = hes_ref[2:3, :]
+    h00 = hes3[0:1, :]
+    h01 = hes3[1:2, :]
+    h11 = hes3[2:3, :]
     det = h00 * h11 - h01 * h01
-    ptref = ptref_ref[:]
-    p_in = pinit_ref[:]
-    by = by_ref[:]
-    bx = bx_ref[:]
 
     def csum(x):  # (psz_i, C, psz_j, N) -> (1, N)
         # Reduction-tree note: this cannot be bit-identical to the XLA
@@ -508,10 +500,29 @@ def _gn_kernel(
 
     state = jax.lax.fori_loop(0, max_iter + 1, body, state)
     p_iter, pt_iter, _, pweight, _, _, _, _, _, converged = state
-    p_out[:] = p_iter
-    pt_out[:] = pt_iter
-    pw_out[:] = pweight
-    conv_out[:] = converged
+    return p_iter, pt_iter, pweight, converged
+
+
+def _gn_kernel(
+    win_ref,    # (sx, C, sy, N) per-patch windows (patches on lanes)
+    t_ref, dx_ref, dy_ref,   # (psz_i, C, psz_j, N) templates
+    hes_ref,    # (3, N) [h00, h01, h11] (rows 1-2 ignored for stereo)
+    ptref_ref,  # (2, N)
+    pinit_ref,  # (nop, N)
+    by_ref, bx_ref,          # (1, N) int32 window bases (padded coords)
+    p_out, pt_out, pw_out, conv_out,
+    **consts,
+):
+    """XLA-gathered-windows wrapper around _gn_machine (one grid step per
+    patch tile; see gn_search_pallas)."""
+    p, pt, pw, conv = _gn_machine(
+        win_ref[:], t_ref[:], dx_ref[:], dy_ref[:], hes_ref[:],
+        ptref_ref[:], pinit_ref[:], by_ref[:], bx_ref[:], **consts,
+    )
+    p_out[:] = p
+    pt_out[:] = pt
+    pw_out[:] = pw
+    conv_out[:] = conv
 
 
 def _gn_kernel_tiled(
@@ -969,6 +980,210 @@ def _gn_search_tiled(
         pt.reshape(2, n)[:, :n0],
         pw.reshape(psz, c, psz, n)[..., :n0],
         conv.reshape(n)[:n0].astype(jnp.bool_),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Whole-level fused search: in-kernel window build + GN machine
+# ---------------------------------------------------------------------------
+#
+# At op1/op2 the coarse pyramid levels are tiny (<= 144x72 padded, <= ~400
+# patches) and the XLA window chain there is pure overhead: ~10 HLOs per
+# level whose ~5 us launch gaps plus HBM round-trips for the one-hot band
+# matmul cost ~700 us/call at B=16 (profile r3).  This kernel builds the
+# per-patch windows INSIDE the GN kernel: one MXU one-hot row fetch
+# (Wp, Hp) @ (Hp, sy*N) straight from the VMEM-resident level image, then a
+# hierarchical block-select over column offsets (32-aligned -> 8-aligned ->
+# fine, ~16 select iterations instead of Wp-sx) — then runs the shared
+# _gn_machine on the windows without them ever touching HBM.
+
+def _level_kernel(
+    imb_ref,     # (C, Hp, Wp) padded target level image
+    t_ref, dx_ref, dy_ref,   # (psz_i, C, psz_j, N) templates
+    hes_ref,     # (3, N)
+    ptref_ref,   # (2, N)
+    pinit_ref,   # (nop, N)
+    p_out, pt_out, aw_out, conv_out,
+    *,
+    hp: int, wp: int, minerrval: float,
+    psz: int, sy: int, sx: int, nop: int, c: int, pad: int,
+    **consts,
+):
+    f32 = jnp.float32
+    n = ptref_ref.shape[1]
+    lb = -(psz // 2)
+
+    ptref = ptref_ref[:]
+    p_in = pinit_ref[:]
+    if nop == 2:
+        pt_st = ptref + p_in
+    else:
+        pt_st = jnp.concatenate([ptref[0:1] + p_in[0:1], ptref[1:2]], axis=0)
+    # Window bases — identical formulas to optimize_level's XLA path.
+    by = jnp.clip(
+        jnp.floor(pt_st[1:2]).astype(jnp.int32) + lb - psz // 2 + pad, 0, hp - sy
+    )
+    bx = jnp.clip(
+        jnp.floor(pt_st[0:1]).astype(jnp.int32) + lb - psz // 2 + pad, 0, wp - sx
+    )
+
+    # One-hot row fetch: R[y, s, n] = 1[y == by_n + s], contracted over y on
+    # the MXU.  The (Hp, sy*N) <-> (Hp, sy, N) reshapes are tile-preserving
+    # (N is a multiple of 128).
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hp, sy, n), 0)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (hp, sy, n), 1)
+    R2 = (ys == by[None] + ss).astype(f32).reshape(hp, sy * n)
+
+    # Hierarchical column select bounds (static).
+    if wp > 64:
+        nk = (wp - sx) // 32 + 1     # coarse 32-aligned positions
+        w1 = 64                      # band width after coarse select
+        r1 = 32                      # bxr range after coarse select
+    else:
+        nk = 0
+        w1 = wp
+        r1 = wp - sx + 1
+    b8m = (r1 - 1) // 8
+    w2 = sx + 8                      # band width after mid select
+    w1p = max(w1, 8 * b8m + w2)
+
+    chans = []
+    for ch in range(c):
+        imT = jnp.transpose(imb_ref[ch], (1, 0))            # (Wp, Hp)
+        rows = jnp.dot(imT, R2, preferred_element_type=f32)  # (Wp, sy*N)
+        rows3 = rows.reshape(wp, sy, n)
+        if nk:
+            rows3 = jnp.pad(rows3, ((0, max(0, 32 * (nk - 1) + 64 - wp)), (0, 0), (0, 0)))
+            b32 = bx // 32           # (1, N), in [0, nk-1] since bx <= wp-sx
+            band = jnp.zeros((64, sy, n), f32)
+            for k in range(nk):
+                m = (b32 == k).astype(f32)[None]
+                band = band + m * rows3[32 * k : 32 * k + 64]
+            bxr = bx - 32 * b32      # [0, 32)
+        else:
+            band = rows3
+            bxr = bx
+        if w1p > w1:
+            band = jnp.pad(band, ((0, w1p - w1), (0, 0), (0, 0)))
+        b8 = bxr // 8                # [0, b8m]
+        bandm = jnp.zeros((w2, sy, n), f32)
+        for k in range(b8m + 1):
+            m = (b8 == k).astype(f32)[None]
+            bandm = bandm + m * band[8 * k : 8 * k + w2]
+        bxf = bxr - 8 * b8           # [0, 8)
+        win_c = jnp.zeros((sx, sy, n), f32)
+        for f in range(8):
+            m = (bxf == f).astype(f32)[None]
+            win_c = win_c + m * bandm[f : f + sx]
+        chans.append(win_c)
+    win = jnp.stack(chans, axis=1)   # (sx, C, sy, N)
+
+    p, pt, pw, conv = _gn_machine(
+        win, t_ref[:], dx_ref[:], dy_ref[:], hes_ref[:], ptref, p_in, by, bx,
+        psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, **consts,
+    )
+    # Densification weights in-kernel (patchgrid.cpp:253-260): absw[k, n],
+    # k = j*psz + i row-major, = 1 / sum_c max(minerrval, |pdiff|).
+    pwc = jnp.sum(jnp.maximum(minerrval, pw), axis=1)  # (psz_i, psz_j, N)
+    aw = 1.0 / jnp.transpose(pwc, (1, 0, 2)).reshape(psz * psz, n)
+    p_out[:] = p
+    pt_out[:] = pt
+    aw_out[:] = aw
+    conv_out[:] = conv
+
+
+# VMEM word estimate for _level_kernel (same scoped-stack budgeting approach
+# as the tiled GN kernel; factor measured there).
+_LEVEL_VMEM_BUDGET = 80 * 2**20
+
+
+def _level_words(hp, wp, c, np_, psz, sy, sx):
+    return (
+        2 * hp * wp * c                  # image + transpose
+        + hp * sy * np_                  # one-hot R
+        + (wp + 64) * sy * np_ * c       # rows (+ coarse/mid bands), per ch
+        + 2 * sx * c * sy * np_          # win + rolled copy
+        + 10 * c * psz * psz * np_       # machine state
+        + 64
+    )
+
+
+LEVEL_PALLAS = os.environ.get("OF_DIS_LEVEL_PALLAS", "1") != "0"
+
+
+def level_gn_applicable(hp: int, wp: int, c: int, n: int, psz: int,
+                        sy: int, sx: int) -> bool:
+    """Whole-level fused search: small levels only (image + all patches in
+    one VMEM-resident program; larger levels use gn_search_pallas whose
+    windows XLA gathers with the segment row take)."""
+    if not LEVEL_PALLAS or not GN_PALLAS or (_interpret() and not GN_PALLAS_CPU):
+        return False
+    if not (sy > psz and sx > psz):
+        return False
+    np_ = -(-n // 128) * 128
+    if np_ > 512 or hp * wp > 12288:
+        return False
+    return _level_words(hp, wp, c, np_, psz, sy, sx) * _GN_TILED_STACK_FACTOR * 4 \
+        <= _LEVEL_VMEM_BUDGET
+
+
+def level_search_pallas(
+    imb, T, DX, DY, hes3, ptref, p_init, *,
+    psz, sy, sx, nop, c, pad, w, h, hp, wp, cfg, camlr,
+):
+    """Run the whole-level fused kernel.
+
+    imb (C, Hp, Wp); T/DX/DY (psz_i, C, psz_j, N); hes3 (3, N); ptref (2, N);
+    p_init (nop, N).  Returns (p (nop,N), pt (2,N), absw (psz²,N), conv (N,)).
+    """
+    n0 = ptref.shape[1]
+    n = -(-n0 // 128) * 128
+    if n != n0:
+        padn = n - n0
+        T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        DX = jnp.pad(DX, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        DY = jnp.pad(DY, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        hes3 = jnp.concatenate(
+            [hes3, jnp.tile(jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32), (1, padn))],
+            axis=1,
+        )
+        ptref = jnp.concatenate(
+            [ptref, jnp.full((2, padn), -1e6, jnp.float32)], axis=1
+        )
+        p_init = jnp.pad(p_init, ((0, 0), (0, padn)))
+    stereo_clamp = -1 if cfg.mode != "stereo" else int(camlr)
+    kernel = functools.partial(
+        _level_kernel,
+        hp=hp, wp=wp, minerrval=float(cfg.minerrval),
+        psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
+        max_iter=int(cfg.max_iter), min_iter=int(cfg.min_iter),
+        cost=int(cfg.cost), patch_norm=bool(cfg.patch_norm),
+        normoutlier=float(cfg.normoutlier),
+        dp_thresh_sq=float(cfg.dp_thresh) ** 2, dr_thresh=float(cfg.dr_thresh),
+        res_thresh=float(cfg.res_thresh),
+        outlier_sq=float(cfg.outlier_thresh) ** 2,
+        stereo_clamp=stereo_clamp,
+    )
+    p, pt, aw, conv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nop, n), jnp.float32),
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((psz * psz, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_LEVEL_VMEM_BUDGET + 20 * 2**20,
+        ),
+        interpret=_interpret(),
+    )(imb, T, DX, DY, hes3, ptref, p_init)
+    return (
+        p[:, :n0],
+        pt[:, :n0],
+        aw[:, :n0],
+        conv[0, :n0].astype(jnp.bool_),
     )
 
 

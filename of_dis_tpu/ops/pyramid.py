@@ -97,22 +97,47 @@ def pad_to_divisible(img: jnp.ndarray, divisor: int) -> jnp.ndarray:
 
 
 def build_pyramid(
-    img: jnp.ndarray, n_levels: int, pad: int, gradmag_input: bool = False
+    img: jnp.ndarray, n_levels: int, pad: int, gradmag_input: bool = False,
+    first_level: int = 0,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], List[jnp.ndarray]]:
     """Per-level (padded image, padded dx, padded dy), index 0 = finest.
 
     Level 0 is the input (or its gradient magnitude); level i is the 0.5x
     downscale of level i-1.  Images are replicate-padded by `pad`, gradients
     zero-padded (ConstructImgPyramide, run_dense.cpp:130-178).
+
+    Levels finer than `first_level` (unused when the finest computed scale
+    is sc_l > 0, e.g. op1/op2 never touch levels 0-2) are NOT materialized:
+    their list slots are None and the downsample chain 0 -> first_level
+    collapses into ONE 2^k-box average — iterated non-overlapping 2x2 box
+    averages compose to exactly the 2^k uniform box (equal up to float
+    reassociation), and the single reduce_window writes ~1/4^k of the
+    intermediate HBM traffic and drops ~8 HLOs per skipped level.
     """
     levels = []
     cur = gradient_magnitude(img) if gradmag_input else img
     for i in range(n_levels):
-        if i > 0:
+        if i < first_level:
+            levels.append(None)
+            continue
+        if i == first_level and i > 0:
+            k = 1 << i
+            if cur.shape[0] % k or cur.shape[1] % k:
+                raise ValueError(f"dims {cur.shape[:2]} not divisible by 2^{i}")
+            s = jax.lax.reduce_window(
+                cur, 0.0, jax.lax.add, (k, k, 1), (k, k, 1), "VALID"
+            )
+            cur = s * (1.0 / (k * k))
+        elif i > 0:
             cur = downsample_half(cur)
         levels.append(cur)
     imgs, dxs, dys = [], [], []
     for lv in levels:
+        if lv is None:
+            imgs.append(None)
+            dxs.append(None)
+            dys.append(None)
+            continue
         dx, dy = sobel(lv)
         imgs.append(pad_replicate(lv, pad))
         dxs.append(pad_zero(dx, pad))

@@ -67,7 +67,9 @@ def dis_flow_timed(
 
     t0 = time.perf_counter()
     pyr_fn = jax.jit(
-        lambda x: pyr.build_pyramid(x, cfg.sc_f + 1, pad, gradmag_input)
+        lambda x: pyr.build_pyramid(
+            x, cfg.sc_f + 1, pad, gradmag_input, first_level=cfg.sc_l
+        )
     )
     im1s, dx1s, dy1s = jax.block_until_ready(pyr_fn(img1))
     im2s, dx2s, dy2s = jax.block_until_ready(pyr_fn(img2))

@@ -249,20 +249,82 @@ def test_pallas_gn_matches_xla(smooth_pair):
     tmpl = build_templates(im1s[sl], dx1s[sl], dy1s[sl], ptr, cfg, pad)
     p0 = jnp.zeros((geo.n_patches, 2), jnp.float32)
 
-    old = (pk.GN_PALLAS, pk.GN_PALLAS_CPU)
+    old = (pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS)
     try:
         pk.GN_PALLAS = pk.GN_PALLAS_CPU = True
+        pk.LEVEL_PALLAS = False  # exercise gn_search_pallas, not the level kernel
         r_pl = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
         pk.GN_PALLAS = False
         r_xla = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
     finally:
-        pk.GN_PALLAS, pk.GN_PALLAS_CPU = old
+        pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS = old
     np.testing.assert_allclose(np.asarray(r_pl.p), np.asarray(r_xla.p), atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(r_pl.pweight), np.asarray(r_xla.pweight), atol=5e-2
     )
     assert (
         np.asarray(r_pl.converged) == np.asarray(r_xla.converged)
+    ).mean() > 0.99
+
+
+@pytest.mark.parametrize("mode,c", [("flow", 1), ("flow", 3), ("stereo", 1)])
+def test_level_kernel_matches_xla(mode, c, smooth_pair):
+    """The whole-level fused kernel (in-kernel window build + GN machine +
+    absw) is numerically equivalent to the XLA path up to reassociation."""
+    import jax.numpy as jnp
+
+    import of_dis_tpu.ops.pallas_kernels as pk
+    from of_dis_tpu import DISConfig
+    from of_dis_tpu.models.densify import result_absw
+    from of_dis_tpu.models.grid import level_geometry
+    from of_dis_tpu.models.inverse_search import build_templates, optimize_level
+    from of_dis_tpu.ops import pyramid as pyr
+
+    img1, img2, _ = smooth_pair
+    if c == 3:
+        img1 = np.stack([img1, img1 * 0.8 + 10, img1 * 0.6 + 40], axis=-1)
+        img2 = np.stack([img2, img2 * 0.8 + 10, img2 * 0.6 + 40], axis=-1)
+    else:
+        img1, img2 = img1[..., None], img2[..., None]
+    nop = 2 if mode == "flow" else 1
+    cfg = DISConfig(
+        mode=mode, channels=c, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=False,
+    ).validate()
+    pad = cfg.patch_size
+    im1s, dx1s, dy1s = pyr.build_pyramid(jnp.asarray(img1), 2, pad)
+    im2s, _, _ = pyr.build_pyramid(jnp.asarray(img2), 2, pad)
+    sl = 1
+    lw, lh = img1.shape[1] >> sl, img1.shape[0] >> sl
+    geo = level_geometry(lw, lh, cfg)
+    ptr = jnp.asarray(geo.pt_ref)
+    tmpl = build_templates(im1s[sl], dx1s[sl], dy1s[sl], ptr, cfg, pad)
+    rng = np.random.RandomState(3)
+    p0 = jnp.asarray(rng.randn(geo.n_patches, nop).astype(np.float32) * 1.5)
+
+    hp, wp = im2s[sl].shape[:2]
+    sy = min(2 * pad + 2, hp)
+    sx = min(2 * pad + 2, wp)
+    old = (pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS)
+    try:
+        pk.GN_PALLAS = pk.GN_PALLAS_CPU = pk.LEVEL_PALLAS = True
+        assert pk.level_gn_applicable(hp, wp, c, geo.n_patches, pad, sy, sx)
+        r_lv = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
+        assert r_lv.absw is not None and r_lv.pweight is None
+        pk.GN_PALLAS = False
+        r_xla = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
+    finally:
+        pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS = old
+    np.testing.assert_allclose(np.asarray(r_lv.p), np.asarray(r_xla.p), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_lv.pt), np.asarray(r_xla.pt), atol=2e-3)
+    # Window build + extraction reassociate differently (MXU one-hot vs XLA
+    # two-hot); the few-ULP pweight diffs shift absw by <1% on <1% of cells.
+    np.testing.assert_allclose(
+        np.asarray(r_lv.absw), np.asarray(result_absw(r_xla, cfg)),
+        rtol=1e-2, atol=1e-4,
+    )
+    assert (
+        np.asarray(r_lv.converged) == np.asarray(r_xla.converged)
     ).mean() > 0.99
 
 
