@@ -21,6 +21,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -30,16 +31,27 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from of_dis_tpu import operating_point
+    jax.config.update("jax_compilation_cache_dir", "/tmp/of_dis_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from of_dis_tpu import io, operating_point
+    from of_dis_tpu.ops import pyramid as pyr
     from of_dis_tpu.parallel.batch import _batched_padded
 
     H, W, B, NQ, REPS = 436, 1024, 16, 64, 3
-    rng = np.random.RandomState(0)
     cfg = operating_point(2, W)
     scf = 1 << cfg.sc_f
-    Hp = H + (-H) % scf
-    a = jax.device_put(jnp.asarray(rng.rand(B, Hp, W, 1).astype(np.float32) * 255))
-    b = jax.device_put(jnp.asarray(rng.rand(B, Hp, W, 1).astype(np.float32) * 255))
+    # The committed full-res golden pair — the SAME inputs the reference
+    # binaries are benchmarked on (timing is content-independent with
+    # min_iter == max_iter, but identical inputs foreclose any doubt).
+    fdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "goldens", "fullres")
+    img1 = io.load_image(os.path.join(fdir, "of1.png"), 1)
+    img2 = io.load_image(os.path.join(fdir, "of2.png"), 1)
+    p1 = np.asarray(pyr.pad_to_divisible(jnp.asarray(img1, jnp.float32), scf))
+    p2 = np.asarray(pyr.pad_to_divisible(jnp.asarray(img2, jnp.float32), scf))
+    a = jax.device_put(jnp.asarray(np.broadcast_to(p1, (B,) + p1.shape)))
+    b = jax.device_put(jnp.asarray(np.broadcast_to(p2, (B,) + p2.shape)))
 
     # Warm up / compile.
     np.asarray(_batched_padded(a, b, cfg))

@@ -1,76 +1,92 @@
 #!/usr/bin/env python
-"""Full benchmark sweep: our TPU pipeline vs the reference CPU binaries.
+"""Noise-robust benchmark sweep vs PINNED reference baselines.
 
-Measures sustained frame-pairs/s at Sintel resolution (1024x436) for
-operating points 1-4 (optical flow, gray) and op2 stereo, plus accuracy
-(mean EPE vs the reference output on the same synthetic pair).
+Round-2 verdict: re-measuring the reference per run on this shared 1-core
+host made the committed speedup flip around 10x run-to-run.  This version:
 
-Reference binaries must be built first:  bash scripts/build_reference.sh
+  (a) scores against PINNED reference numbers (best sustained measurement
+      of the unmodified binaries on THIS machine across rounds 1-3; see
+      REF_PINNED below and BASELINE.md).  When the binaries are present the
+      reference is re-measured and reported for drift visibility, and the
+      sweep scores against max(pinned, fresh) so the comparison can only be
+      conservative.
+  (b) uses the SAME committed image pair for both sides — the full-res
+      golden inputs (tests/goldens/fullres/), real content at 1024x436 —
+      instead of per-run random noise.
+  (c) reports device-busy ms/pair (xplane trace, scripts/profile_tpu.py
+      machinery) alongside wall-clock Hz, so tunnel-dispatch noise is
+      visible separately from device regressions.
+
+Reference binaries (optional, for the drift check):
+    bash scripts/build_reference.sh
 Run:  python scripts/bench_sweep.py [refbuild_dir]
 
-Prints a markdown table; also writes bench_sweep.json next to this script.
+Prints a markdown table; writes bench_sweep.json at the repo root.
 """
 
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
-import tempfile
 import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.join(HERE, "..")
+FDIR = os.path.join(ROOT, "tests", "goldens", "fullres")
 H, W = 436, 1024
 
-
-def make_pair(tmp):
-    import cv2
-    from scipy.ndimage import gaussian_filter, map_coordinates
-
-    rng = np.random.RandomState(3)
-    base = gaussian_filter(rng.rand(H + 40, W + 40).astype(np.float32), 2.5)
-    base = (base - base.min()) / (base.max() - base.min()) * 255
-    img1 = base[20 : 20 + H, 20 : 20 + W]
-    u = gaussian_filter(rng.randn(H, W).astype(np.float32), 30)
-    u = u / np.abs(u).max() * 8
-    v = gaussian_filter(rng.randn(H, W).astype(np.float32), 30)
-    v = v / np.abs(v).max() * 6
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    img2 = map_coordinates(base, [yy + v + 20, xx + u + 20], order=1)
-    p1, p2 = os.path.join(tmp, "a.png"), os.path.join(tmp, "b.png")
-    cv2.imwrite(p1, img1.astype(np.uint8))
-    cv2.imwrite(p2, img2.astype(np.uint8))
-    # stereo: shift left by 4 +- 2 px
-    d = 4.0 + gaussian_filter(rng.randn(H, W).astype(np.float32), 30) * 2
-    img2s = map_coordinates(base, [yy + 20, xx + d + 20], order=1)
-    p2s = os.path.join(tmp, "r.png")
-    cv2.imwrite(p2s, img2s.astype(np.uint8))
-    return p1, p2, p2s
+# Pinned reference throughput (Hz) on this machine: the MAX over all
+# recorded measurements (BASELINE.md table 2026-08-16; round-2/3 sweep
+# re-measurements, best-of-reps of the "O.Flow Run-Time" algorithm-only
+# timer).  Using the max makes every speedup in the artifact a lower bound.
+REF_PINNED_HZ = {
+    "of_op1": 873.4,   # BASELINE.md 654; r2 sweep best 873.4
+    "of_op2": 346.9,   # BASELINE.md 262; r2 sweep best 329.9; stereo-pair 346.9
+    "of_op3": 6.12,    # BASELINE.md 5.1; r2 sweep best 6.12
+    "of_op4": 0.49,    # BASELINE.md 0.37; r2 sweep best 0.49
+    "de_op2": 346.9,   # r2 sweep best
+}
 
 
-def run_reference(binpath, a, b, out, op, reps=3):
-    best = float("inf")
+def run_reference(binpath, a, b, out, op, reps=5):
+    """Best (min) algorithm-only ms over reps; None if unavailable."""
+    times = []
     for _ in range(reps):
         r = subprocess.run([binpath, a, b, out, str(op)], capture_output=True, text=True)
         m = re.search(r"O.Flow Run-Time.*?:\s*([0-9.e+]+)", r.stdout)
         if r.returncode == 0 and m:
-            best = min(best, float(m.group(1)))
-    return best if best < float("inf") else None  # ms/pair
+            times.append(float(m.group(1)))
+    if not times:
+        return None, None
+    return min(times), statistics.median(times)
 
 
-def bench_ours(cfg, B=16, nq=32, reps=3):
+def load_pair(stereo=False):
+    from of_dis_tpu import io
+
+    a = io.load_image(os.path.join(FDIR, "de1.png" if stereo else "of1.png"), 1)
+    b = io.load_image(os.path.join(FDIR, "de2.png" if stereo else "of2.png"), 1)
+    return a, b
+
+
+def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
+    """Sustained Hz on a deep queue + device-busy ms/pair from a trace."""
     import jax
     import jax.numpy as jnp
 
+    from of_dis_tpu.ops import pyramid as pyr
     from of_dis_tpu.parallel.batch import _batched_padded
 
-    rng = np.random.RandomState(0)
     scf = 1 << cfg.sc_f
-    Hp = H + (-H) % scf
-    a = jax.device_put(jnp.asarray(rng.rand(B, Hp, W, 1).astype(np.float32) * 255))
-    b = jax.device_put(jnp.asarray(rng.rand(B, Hp, W, 1).astype(np.float32) * 255))
-    np.asarray(_batched_padded(a, b, cfg))
+    p1 = np.asarray(pyr.pad_to_divisible(jnp.asarray(img1, jnp.float32), scf))
+    p2 = np.asarray(pyr.pad_to_divisible(jnp.asarray(img2, jnp.float32), scf))
+    a = jax.device_put(jnp.asarray(np.broadcast_to(p1, (B,) + p1.shape)))
+    b = jax.device_put(jnp.asarray(np.broadcast_to(p2, (B,) + p2.shape)))
+    np.asarray(_batched_padded(a, b, cfg))  # compile
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -79,70 +95,98 @@ def bench_ours(cfg, B=16, nq=32, reps=3):
             last = _batched_padded(a, b, cfg)
         np.asarray(last)
         best = max(best, nq * B / (time.perf_counter() - t0))
-    return best  # Hz
+
+    device_ms = None
+    if trace_dir is not None:
+        try:
+            import shutil
+
+            sys.path.insert(0, HERE)
+            from profile_tpu import parse_trace
+
+            shutil.rmtree(trace_dir, ignore_errors=True)
+            ncal = 3
+            with jax.profiler.trace(trace_dir):
+                last = None
+                for _ in range(ncal):
+                    last = _batched_padded(a, b, cfg)
+                np.asarray(last)
+            ops = parse_trace(trace_dir)
+            total_ps = sum(t for t, _ in ops.values())
+            device_ms = total_ps / 1e9 / ncal / B
+        except Exception as e:  # CPU backend / no protoc: wall-clock only
+            print(f"  (no device trace: {e})", file=sys.stderr)
+    return best, device_ms
 
 
 def main():
     refdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild"
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, ROOT)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/of_dis_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from of_dis_tpu import io, operating_point
     from of_dis_tpu.models.dis import dis_raw
 
+    # Measured batch/queue sweet spots per op point (CLAUDE.md perf notes).
+    shape = {1: (16, 32, 3), 2: (16, 32, 3), 3: (4, 8, 2), 4: (4, 2, 1)}
     rows = []
-    with tempfile.TemporaryDirectory() as tmp:
-        a, b, r = make_pair(tmp)
-        # op3/op4 reach fine levels with 10-50k patches; smaller batches keep
-        # the window working set in HBM (reference runtimes there are
-        # 200-2700 ms/pair, so queueing matters less).
-        # Measured sweet spots: op3 degrades above B=4 (VMEM pressure);
-        # op4 gains ~20% at B=4 over B=2 (sublane packing).
-        shape = {1: (16, 32, 3), 2: (16, 32, 3), 3: (4, 8, 2), 4: (4, 2, 1)}
-        for op in (1, 2, 3, 4):
-            B, nq, reps = shape[op]
-            cfg = operating_point(op, W)
-            ours_hz = bench_ours(cfg, B=B, nq=nq, reps=reps)
-            case = dict(case=f"of_op{op}", ours_hz=round(ours_hz, 1))
-            refbin = os.path.join(refdir, "run_OF_INT")
-            ref_ms = run_reference(refbin, a, b, os.path.join(tmp, "ref.flo"), op) \
-                if os.path.exists(refbin) else None
-            if ref_ms is not None:
-                out = os.path.join(tmp, "ref.flo")
-                case["ref_hz"] = round(1000.0 / ref_ms, 2)
-                case["speedup"] = round(ours_hz * ref_ms / 1000.0, 1)
-                img1 = io.load_image(a, 1)
-                img2 = io.load_image(b, 1)
-                flow = np.asarray(dis_raw(img1, img2, cfg))
-                golden = io.read_flo(out)
-                case["epe_vs_ref"] = round(
-                    float(np.mean(np.sqrt(np.sum((flow - golden) ** 2, -1)))), 4
-                )
-            rows.append(case)
-        # stereo op2
-        cfg = operating_point(2, W, mode="stereo")
-        ours_hz = bench_ours(cfg)
-        case = dict(case="de_op2", ours_hz=round(ours_hz, 1))
-        refbin = os.path.join(refdir, "run_DE_INT")
-        ref_ms = run_reference(refbin, a, r, os.path.join(tmp, "ref.pfm"), 2) \
-            if os.path.exists(refbin) else None
-        if ref_ms is not None:
-            out = os.path.join(tmp, "ref.pfm")
-            case["ref_hz"] = round(1000.0 / ref_ms, 2)
-            case["speedup"] = round(ours_hz * ref_ms / 1000.0, 1)
-            img1 = io.load_image(a, 1)
-            img2 = io.load_image(r, 1)
-            disp = np.asarray(dis_raw(img1, img2, cfg))[..., 0]
-            golden = io.read_pfm(out, negate=True)
-            case["epe_vs_ref"] = round(float(np.mean(np.abs(disp - golden))), 4)
-        rows.append(case)
 
-    print("| case | ours (Hz) | reference (Hz) | speedup | EPE vs ref (px) |")
-    print("|---|---|---|---|---|")
+    def one_case(case, op, cfg, img1, img2, golden, refbin, B, nq, reps):
+        ours_hz, device_ms = bench_ours(
+            cfg, img1, img2, B=B, nq=nq, reps=reps, trace_dir=f"/tmp/ofdis_sweep_{case}"
+        )
+        row = dict(case=case, ours_hz=round(ours_hz, 1))
+        if device_ms is not None:
+            row["device_ms_pair"] = round(device_ms, 3)
+        ref_hz = REF_PINNED_HZ[case]
+        row["ref_hz_pinned"] = ref_hz
+        if refbin and os.path.exists(refbin):
+            out = os.path.join("/tmp", f"sweep_ref_{case}" + (".pfm" if case.startswith("de") else ".flo"))
+            src = (os.path.join(FDIR, "de1.png"), os.path.join(FDIR, "de2.png")) \
+                if case.startswith("de") else \
+                (os.path.join(FDIR, "of1.png"), os.path.join(FDIR, "of2.png"))
+            best_ms, med_ms = run_reference(refbin, src[0], src[1], out, op)
+            if best_ms is not None:
+                fresh = 1000.0 / best_ms
+                row["ref_hz_fresh"] = round(fresh, 2)
+                if fresh > ref_hz:  # score conservatively
+                    ref_hz = fresh
+        row["speedup"] = round(ours_hz / ref_hz, 1)
+        # Accuracy on the same pair vs the committed full-res golden.
+        ours = np.asarray(dis_raw(img1, img2, cfg))
+        if golden.ndim == 2:
+            golden = golden[..., None]
+        row["epe_vs_ref"] = round(
+            float(np.mean(np.sqrt(np.sum((ours - golden.astype(np.float32)) ** 2, -1)))), 4
+        )
+        rows.append(row)
+        print(f"  {case}: {row}", file=sys.stderr)
+
+    of1, of2 = load_pair(False)
+    de1, de2 = load_pair(True)
+    for op in (1, 2, 3, 4):
+        B, nq, reps = shape[op]
+        cfg = operating_point(op, W)
+        golden = np.load(os.path.join(FDIR, f"of_int_op{op}.npz"))["ref"]
+        one_case(f"of_op{op}", op, cfg, of1, of2, golden,
+                 os.path.join(refdir, "run_OF_INT"), B, nq, reps)
+    cfg = operating_point(2, W, mode="stereo")
+    golden = np.load(os.path.join(FDIR, "de_int_op2.npz"))["ref"]
+    one_case("de_op2", 2, cfg, de1, de2, golden,
+             os.path.join(refdir, "run_DE_INT"), 16, 32, 3)
+
+    print("| case | ours (Hz) | device ms/pair | ref pinned (Hz) | ref fresh (Hz) | speedup | EPE vs ref (px) |")
+    print("|---|---|---|---|---|---|---|")
     for c in rows:
         print(
-            f"| {c['case']} | {c['ours_hz']} | {c.get('ref_hz', '-')} | "
-            f"{c.get('speedup', '-')} | {c.get('epe_vs_ref', '-')} |"
+            f"| {c['case']} | {c['ours_hz']} | {c.get('device_ms_pair', '-')} | "
+            f"{c['ref_hz_pinned']} | {c.get('ref_hz_fresh', '-')} | "
+            f"{c['speedup']} | {c['epe_vs_ref']} |"
         )
-    with open(os.path.join(os.path.dirname(__file__), "..", "bench_sweep.json"), "w") as f:
+    with open(os.path.join(ROOT, "bench_sweep.json"), "w") as f:
         json.dump(rows, f, indent=1)
 
 
