@@ -38,7 +38,11 @@ def main():
     from of_dis_tpu.ops import pyramid as pyr
     from of_dis_tpu.parallel.batch import _batched_padded
 
-    H, W, B, NQ, REPS = 436, 1024, 16, 64, 3
+    # B=32 x 128 queued calls: the whole-level fused kernels (r3) moved the
+    # bottleneck from VMEM pressure to per-call tunnel overhead, so deeper
+    # queues + larger batches now win (B=16/NQ=64 measured 4.3k Hz vs
+    # 6.4k Hz here at op2; B>=48 regresses on device).
+    H, W, B, NQ, REPS = 436, 1024, 32, 128, 3
     cfg = operating_point(2, W)
     scf = 1 << cfg.sc_f
     # The committed full-res golden pair — the SAME inputs the reference

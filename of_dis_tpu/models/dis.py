@@ -36,10 +36,20 @@ from .refine import refine_level
 
 
 def _stage_templates(im_a, dx_a, dy_a, im_b, dx_b, dy_b, pt_ref, cfg: DISConfig, pad: int):
-    """Stage 'pconst': template extraction + Hessians (patchgrid.cpp:109-114)."""
-    tmpl_fw = build_templates(im_a, dx_a, dy_a, pt_ref, cfg, pad)
+    """Stage 'pconst': template extraction + Hessians (patchgrid.cpp:109-114).
+
+    Levels the fused whole-level kernel will handle get templates built in
+    its patches-last layout directly (no relayout copies)."""
+    from ..ops.pallas_kernels import level_gn_applicable
+
+    hp, wp, c = im_a.shape
+    psz = cfg.patch_size
+    sy = min(2 * psz + 2, hp)
+    sx = min(2 * psz + 2, wp)
+    last = level_gn_applicable(hp, wp, c, pt_ref.shape[0], psz, sy, sx)
+    tmpl_fw = build_templates(im_a, dx_a, dy_a, pt_ref, cfg, pad, patches_last=last)
     tmpl_bw = (
-        build_templates(im_b, dx_b, dy_b, pt_ref, cfg, pad)
+        build_templates(im_b, dx_b, dy_b, pt_ref, cfg, pad, patches_last=last)
         if cfg.use_fb_merge else None
     )
     return tmpl_fw, tmpl_bw

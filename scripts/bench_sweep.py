@@ -130,8 +130,9 @@ def main():
     from of_dis_tpu import io, operating_point
     from of_dis_tpu.models.dis import dis_raw
 
-    # Measured batch/queue sweet spots per op point (CLAUDE.md perf notes).
-    shape = {1: (16, 32, 3), 2: (16, 32, 3), 3: (4, 8, 2), 4: (4, 2, 1)}
+    # Measured batch/queue sweet spots per op point (CLAUDE.md perf notes;
+    # r3: deep queues amortize the ~2 ms/call tunnel-side execute overhead).
+    shape = {1: (32, 128, 3), 2: (32, 128, 3), 3: (4, 16, 2), 4: (4, 4, 1)}
     rows = []
 
     def one_case(case, op, cfg, img1, img2, golden, refbin, B, nq, reps):
@@ -176,7 +177,7 @@ def main():
     cfg = operating_point(2, W, mode="stereo")
     golden = np.load(os.path.join(FDIR, "de_int_op2.npz"))["ref"]
     one_case("de_op2", 2, cfg, de1, de2, golden,
-             os.path.join(refdir, "run_DE_INT"), 16, 32, 3)
+             os.path.join(refdir, "run_DE_INT"), 32, 128, 3)
 
     print("| case | ours (Hz) | device ms/pair | ref pinned (Hz) | ref fresh (Hz) | speedup | EPE vs ref (px) |")
     print("|---|---|---|---|---|---|---|")

@@ -130,3 +130,26 @@ def test_odd_size_inputs():
     out = np.asarray(dis_flow(img1, img2, cfg))
     assert out.shape == (37, 53, 2)
     assert np.isfinite(out).all()
+
+
+def test_fused_level_pipeline_matches_default(smooth_pair):
+    """Full pipeline with the whole-level fused kernel forced (interpret
+    mode) vs the XLA path: exercises the patches-last template build +
+    in-kernel window build + absw densify wiring end-to-end."""
+    import of_dis_tpu.ops.pallas_kernels as pk
+
+    img1, img2, (tu, tv) = smooth_pair
+    cfg = small_cfg(sc_f=1, sc_l=0, max_iter=4, min_iter=4, use_tv_refine=True)
+    ref = np.asarray(dis_flow(img1, img2, cfg))
+    old = (pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS)
+    try:
+        pk.GN_PALLAS = pk.GN_PALLAS_CPU = pk.LEVEL_PALLAS = True
+        from of_dis_tpu.models.dis import dis_padded_jit
+
+        dis_padded_jit.clear_cache()
+        fused = np.asarray(dis_flow(img1, img2, cfg))
+    finally:
+        pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS = old
+        dis_padded_jit.clear_cache()
+    # Same algorithm, different compilers: only reassociation separates them.
+    np.testing.assert_allclose(fused, ref, atol=5e-3)
