@@ -38,18 +38,27 @@ from .refine import refine_level
 def _stage_templates(im_a, dx_a, dy_a, im_b, dx_b, dy_b, pt_ref, cfg: DISConfig, pad: int):
     """Stage 'pconst': template extraction + Hessians (patchgrid.cpp:109-114).
 
-    Levels the fused whole-level kernel will handle get templates built in
-    its patches-last layout directly (no relayout copies)."""
+    Levels the fused whole-level kernel handles DEFER template extraction
+    into the kernel itself (zero XLA-side extraction/relayout work): this
+    stage then just forwards the level images, and the extraction cost is
+    attributed to 'poptim' in the verbosity-2 table."""
+    from ..models.inverse_search import PatchTemplates
     from ..ops.pallas_kernels import level_gn_applicable
 
     hp, wp, c = im_a.shape
     psz = cfg.patch_size
     sy = min(2 * psz + 2, hp)
     sx = min(2 * psz + 2, wp)
-    last = level_gn_applicable(hp, wp, c, pt_ref.shape[0], psz, sy, sx)
-    tmpl_fw = build_templates(im_a, dx_a, dy_a, pt_ref, cfg, pad, patches_last=last)
+    if level_gn_applicable(hp, wp, c, pt_ref.shape[0], psz, sy, sx):
+        tmpl_fw = PatchTemplates(tmp=im_a, dx=dx_a, dy=dy_a, hes=None, deferred=True)
+        tmpl_bw = (
+            PatchTemplates(tmp=im_b, dx=dx_b, dy=dy_b, hes=None, deferred=True)
+            if cfg.use_fb_merge else None
+        )
+        return tmpl_fw, tmpl_bw
+    tmpl_fw = build_templates(im_a, dx_a, dy_a, pt_ref, cfg, pad)
     tmpl_bw = (
-        build_templates(im_b, dx_b, dy_b, pt_ref, cfg, pad, patches_last=last)
+        build_templates(im_b, dx_b, dy_b, pt_ref, cfg, pad)
         if cfg.use_fb_merge else None
     )
     return tmpl_fw, tmpl_bw

@@ -52,16 +52,17 @@ MATMUL_EXTRACT_MAX_PIXELS = int(os.environ.get("OF_DIS_MATMUL_EXTRACT_MAX_PIXELS
 class PatchTemplates(NamedTuple):
     """Per-patch template data computed once per level (patch.cpp:57-88).
 
-    Two layouts: the default (N, psz, psz, C) with hes (N, 3|1), or — when
-    `last` is True, produced for the fused whole-level kernel — patches-LAST
-    (psz_i, C, psz_j, N) with hes (3, N), which the kernel consumes directly
-    (no relayout copies between template build and search)."""
+    When `deferred` is True (levels the fused whole-level kernel handles),
+    tmp/dx/dy hold the PADDED LEVEL IMAGES instead and hes is None: the
+    kernel extracts templates and Hessians itself, in VMEM, with zero
+    XLA-side extraction or relayout work (measured: the XLA template
+    pipeline cost ~0.4 ms/call at op1 B=32)."""
 
-    tmp: jnp.ndarray     # template values (mean-normalized if patnorm)
-    dx: jnp.ndarray      # template x-gradients
-    dy: jnp.ndarray      # template y-gradients
-    hes: jnp.ndarray     # [H00, H01, H11] for flow; [H00] for stereo
-    last: bool = False   # True = patches-last layout (see above)
+    tmp: jnp.ndarray     # (N, psz, psz, C) templates, or (Hp, Wp, C) im_a
+    dx: jnp.ndarray      # (N, psz, psz, C) x-gradients, or (Hp, Wp, C) dx_a
+    dy: jnp.ndarray      # (N, psz, psz, C) y-gradients, or (Hp, Wp, C) dy_a
+    hes: jnp.ndarray     # (N, 3|1) [H00, H01, H11] / [H00]; None if deferred
+    deferred: bool = False
 
 
 class SearchResult(NamedTuple):
@@ -114,14 +115,11 @@ def build_templates(
     tile_origin=None,      # (oy, ox): im_a is a tile whose row/col 0 sits at
                            # this offset of the global padded image (spatial
                            # 2-D tiling; parallel/spatial.py)
-    patches_last: bool = False,
 ) -> PatchTemplates:
     """Template extraction + Hessian, once per level (InitializePatch,
     patch.cpp:57-88).  Gradients are NOT mean-normalized; the Hessian uses
     raw template gradients only."""
     psz = cfg.patch_size
-    if patches_last:
-        return _build_templates_last(im_a, dx_a, dy_a, pt_ref, cfg, pad)
     if tile_origin is not None:
         # Work in tile-local coordinates: pt stays global; shift the frame.
         oy, ox = tile_origin
@@ -164,36 +162,6 @@ def build_templates(
         bump = jnp.where(h00 == 0.0, 1e-10, 0.0)
         hes = (h00 + bump)[:, None]
     return PatchTemplates(tmp=tmp, dx=dx, dy=dy, hes=hes)
-
-
-def _build_templates_last(im_a, dx_a, dy_a, pt_ref, cfg: DISConfig, pad: int):
-    """Patches-last template build for the fused whole-level kernel: the
-    one-hot band matmul of gather_windows_rows (R is a compile-time constant
-    here — pt_ref is static) lands (psz_i, C, psz_j, N) directly, so no
-    (N, psz, psz, C) -> kernel-layout transpose copies exist at all."""
-    psz = cfg.patch_size
-    lb = -(psz // 2)
-    cy = jnp.floor(pt_ref[:, 1] + 0.5).astype(jnp.int32) + pad + lb
-    cx = jnp.floor(pt_ref[:, 0] + 0.5).astype(jnp.int32) + pad + lb
-    tmp = gather_windows_rows(im_a, cy, cx, psz, psz)   # (psz_i, C, psz_j, N)
-    dx = gather_windows_rows(dx_a, cy, cx, psz, psz)
-    dy = gather_windows_rows(dy_a, cy, cx, psz, psz)
-    if cfg.patch_norm:
-        tmp = tmp - jnp.mean(tmp, axis=(0, 1, 2), keepdims=True)
-    h00 = jnp.sum(dx * dx, axis=(0, 1, 2))
-    if cfg.nop == 2:
-        h01 = jnp.sum(dx * dy, axis=(0, 1, 2))
-        h11 = jnp.sum(dy * dy, axis=(0, 1, 2))
-        det = h00 * h11 - h01 * h01
-        bump = jnp.where(det == 0.0, 1e-10, 0.0)
-        hes = jnp.stack([h00 + bump, h01, h11 + bump], axis=0)  # (3, N)
-    else:
-        bump = jnp.where(h00 == 0.0, 1e-10, 0.0)
-        n = pt_ref.shape[0]
-        hes = jnp.concatenate(
-            [(h00 + bump)[None], jnp.zeros((2, n), jnp.float32)], axis=0
-        )
-    return PatchTemplates(tmp=tmp, dx=dx, dy=dy, hes=hes, last=True)
 
 
 def _param_to_pt(pt_ref: jnp.ndarray, p: jnp.ndarray, nop: int) -> jnp.ndarray:
@@ -265,24 +233,32 @@ def optimize_level(
     )
 
     if tile is None and level_gn_applicable(hp, wp, c, n, psz, sy, sx):
-        # Whole-level fused kernel: window bases, window build (MXU one-hot
-        # row fetch + hierarchical column block-select) and the GN state
-        # machine in ONE program — the level image never re-enters HBM and
-        # the ~10-HLO window chain disappears (its launch gaps were ~45% of
-        # op1 device wall).  Densification weights also come back directly.
-        if tmpl.last:  # already in kernel layout (patches-last build)
-            Tp, DXp, DYp, hes3 = tmpl.tmp, tmpl.dx, tmpl.dy, tmpl.hes
+        # Whole-level fused kernel: template build (when deferred), window
+        # bases, window build (MXU one-hot row fetch + hierarchical column
+        # block-select) and the GN state machine in ONE program — the level
+        # images never re-enter HBM and the ~10-HLO window chain disappears
+        # (its launch gaps were ~45% of op1 device wall).  Densification
+        # weights also come back directly.
+        if tmpl.deferred:
+            imgs = (
+                jnp.transpose(tmpl.tmp, (2, 0, 1)),
+                jnp.transpose(tmpl.dx, (2, 0, 1)),
+                jnp.transpose(tmpl.dy, (2, 0, 1)),
+                jnp.transpose(im_b, (2, 0, 1)),
+            )
+            tmpl_args = None
         else:
-            Tp = jnp.transpose(tmpl.tmp, (2, 3, 1, 0))
-            DXp = jnp.transpose(tmpl.dx, (2, 3, 1, 0))
-            DYp = jnp.transpose(tmpl.dy, (2, 3, 1, 0))
-            hes3 = tmpl.hes.T if nop == 2 else jnp.concatenate(
-                [tmpl.hes.T, jnp.zeros((2, n), jnp.float32)], axis=0
+            imgs = (jnp.transpose(im_b, (2, 0, 1)),)
+            tmpl_args = (
+                jnp.transpose(tmpl.tmp, (2, 3, 1, 0)),
+                jnp.transpose(tmpl.dx, (2, 3, 1, 0)),
+                jnp.transpose(tmpl.dy, (2, 3, 1, 0)),
+                tmpl.hes.T if nop == 2 else jnp.concatenate(
+                    [tmpl.hes.T, jnp.zeros((2, n), jnp.float32)], axis=0
+                ),
             )
         p_t, pt_t, aw_t, conv = level_search_pallas(
-            jnp.transpose(im_b, (2, 0, 1)),
-            Tp, DXp, DYp, hes3,
-            pt_ref.T, p_init.T,
+            imgs, tmpl_args, pt_ref.T, p_init.T,
             psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
             hp=hp, wp=wp, cfg=cfg, camlr=camlr,
         )

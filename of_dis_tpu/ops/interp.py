@@ -167,11 +167,15 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
         else:
             band = band.reshape(n, sy, wp, c).transpose(2, 3, 1, 0)  # (Wp, C, sy, N)
 
-    if sx <= 31 and wp > 64:
+    if sx <= 31 and wp > 64 and n > 2048:
         # Two-stage column select: pick the 2 covering 32-wide segments with
         # a coarse one-hot (cost nseg*64 per value), then the sx columns
         # inside the 64 (cost 64*sx) — (nseg + sx)*64 vs Wp*sx work, ~5x
-        # less at op3/op4 band widths.
+        # less at op3/op4 band widths.  Small-N bands (the one-hot-matmul
+        # levels, n <= ~1700 by the FLOP cap) skip it: the direct select is
+        # a single fused multiply-reduce, while the segment machinery's
+        # (nseg, 32, ...) intermediates cost ~3 relayout copies that dwarf
+        # the saved FLOPs (measured +0.7 ms/call on the r3 template build).
         nseg = -(-wp // 32)
         if nseg * 32 != wp:
             band = jnp.pad(band, ((0, nseg * 32 - wp), (0, 0), (0, 0), (0, 0)))

@@ -997,24 +997,128 @@ def _gn_search_tiled(
 # fine, ~16 select iterations instead of Wp-sx) — then runs the shared
 # _gn_machine on the windows without them ever touching HBM.
 
+def _fetch_windows(img_ref, R2, bx, *, ny, nx, hp, wp, n, c):
+    """Fetch per-patch (nx, ny) windows from a VMEM-resident (C, Hp, Wp)
+    image: one MXU one-hot row matmul per channel (R2 prebuilt (Hp, ny*N)),
+    then a hierarchical column block-select (32-aligned -> 8-aligned ->
+    fine; ~16 select iterations instead of Wp-nx).  bx (1, N) int32 in
+    [0, wp-nx].  Returns (nx, C, ny, N)."""
+    f32 = jnp.float32
+    if wp > 64:
+        nk = (wp - nx) // 32 + 1     # coarse 32-aligned positions
+        w1 = 64                      # band width after coarse select
+        r1 = 32                      # bxr range after coarse select
+    else:
+        nk = 0
+        w1 = wp
+        r1 = wp - nx + 1
+    b8m = (r1 - 1) // 8
+    w2 = nx + 8                      # band width after mid select
+    w1p = max(w1, 8 * b8m + w2)
+
+    chans = []
+    for ch in range(c):
+        imT = jnp.transpose(img_ref[ch], (1, 0))             # (Wp, Hp)
+        rows = jnp.dot(imT, R2, preferred_element_type=f32)  # (Wp, ny*N)
+        rows3 = rows.reshape(wp, ny, n)
+        if nk:
+            rows3 = jnp.pad(rows3, ((0, max(0, 32 * (nk - 1) + 64 - wp)), (0, 0), (0, 0)))
+            b32 = bx // 32           # (1, N), in [0, nk-1] since bx <= wp-nx
+            band = jnp.zeros((64, ny, n), f32)
+            for k in range(nk):
+                m = (b32 == k).astype(f32)[None]
+                band = band + m * rows3[32 * k : 32 * k + 64]
+            bxr = bx - 32 * b32      # [0, 32)
+        else:
+            band = rows3
+            bxr = bx
+        if w1p > w1:
+            band = jnp.pad(band, ((0, w1p - w1), (0, 0), (0, 0)))
+        b8 = bxr // 8                # [0, b8m]
+        bandm = jnp.zeros((w2, ny, n), f32)
+        for k in range(b8m + 1):
+            m = (b8 == k).astype(f32)[None]
+            bandm = bandm + m * band[8 * k : 8 * k + w2]
+        bxf = bxr - 8 * b8           # [0, 8)
+        win_c = jnp.zeros((nx, ny, n), f32)
+        for f in range(8):
+            m = (bxf == f).astype(f32)[None]
+            win_c = win_c + m * bandm[f : f + nx]
+        chans.append(win_c)
+    return jnp.stack(chans, axis=1)  # (nx, C, ny, N)
+
+
+def _row_onehot(by, ny, hp, n):
+    """(Hp, ny*N) one-hot R[y, s*N+n] = 1[y == by_n + s] (tile-preserving
+    reshape: N is a multiple of 128)."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hp, ny, n), 0)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (hp, ny, n), 1)
+    return (ys == by[None] + ss).astype(jnp.float32).reshape(hp, ny * n)
+
+
 def _level_kernel(
-    imb_ref,     # (C, Hp, Wp) padded target level image
-    t_ref, dx_ref, dy_ref,   # (psz_i, C, psz_j, N) templates
-    hes_ref,     # (3, N)
-    ptref_ref,   # (2, N)
-    pinit_ref,   # (nop, N)
-    p_out, pt_out, aw_out, conv_out,
-    *,
-    hp: int, wp: int, minerrval: float,
+    *refs,
+    inline_templates: bool,
+    hp: int, wp: int, minerrval: float, patch_norm: bool,
     psz: int, sy: int, sx: int, nop: int, c: int, pad: int,
     **consts,
 ):
+    """Whole-level fused search.  Two input forms:
+
+    inline_templates=True:  (ima, dxa, dya, imb, ptref, pinit | outs) —
+      template extraction + Hessians happen in-kernel too (integer windows
+      at the static patch centers, patch.cpp:57-88).
+    inline_templates=False: (imb, T, DX, DY, hes3, ptref, pinit | outs) —
+      templates precomputed by XLA (spatial-shard callers).
+    """
     f32 = jnp.float32
+    if inline_templates:
+        (ima_ref, dxa_ref, dya_ref, imb_ref, ptref_ref, pinit_ref,
+         p_out, pt_out, aw_out, conv_out) = refs
+    else:
+        (imb_ref, t_ref, dx_ref, dy_ref, hes_ref, ptref_ref, pinit_ref,
+         p_out, pt_out, aw_out, conv_out) = refs
     n = ptref_ref.shape[1]
     lb = -(psz // 2)
+    novals = float(c * psz * psz)
 
     ptref = ptref_ref[:]
     p_in = pinit_ref[:]
+
+    if inline_templates:
+        # Integer template windows at the static centers (patch.cpp:286-332
+        # semantics): cy/cx = floor(pt + 0.5) + pad + lb, in-bounds for the
+        # static grid.
+        cy = jnp.floor(ptref[1:2] + 0.5).astype(jnp.int32) + pad + lb
+        cx = jnp.floor(ptref[0:1] + 0.5).astype(jnp.int32) + pad + lb
+        cy = jnp.clip(cy, 0, hp - psz)   # pad lanes (-1e6 centers) clip in
+        cx = jnp.clip(cx, 0, wp - psz)
+        Rt = _row_onehot(cy, psz, hp, n)
+        T = _fetch_windows(ima_ref, Rt, cx, ny=psz, nx=psz, hp=hp, wp=wp, n=n, c=c)
+        DX = _fetch_windows(dxa_ref, Rt, cx, ny=psz, nx=psz, hp=hp, wp=wp, n=n, c=c)
+        DY = _fetch_windows(dya_ref, Rt, cx, ny=psz, nx=psz, hp=hp, wp=wp, n=n, c=c)
+
+        def csum(x):
+            return jnp.sum(x.reshape(psz * c * psz, n), axis=0, keepdims=True)
+
+        if patch_norm:
+            T = T - (csum(T) / novals)[None, None]
+        h00 = csum(DX * DX)
+        if nop == 2:
+            h01 = csum(DX * DY)
+            h11 = csum(DY * DY)
+            det = h00 * h11 - h01 * h01
+            bump = jnp.where(det == 0.0, 1e-10, 0.0)  # patch.cpp:78-82
+            hes3 = jnp.concatenate([h00 + bump, h01, h11 + bump], axis=0)
+        else:
+            bump = jnp.where(h00 == 0.0, 1e-10, 0.0)
+            hes3 = jnp.concatenate([h00 + bump, h00 * 0.0, h00 * 0.0], axis=0)
+    else:
+        T = t_ref[:]
+        DX = dx_ref[:]
+        DY = dy_ref[:]
+        hes3 = hes_ref[:]
+
     if nop == 2:
         pt_st = ptref + p_in
     else:
@@ -1026,61 +1130,15 @@ def _level_kernel(
     bx = jnp.clip(
         jnp.floor(pt_st[0:1]).astype(jnp.int32) + lb - psz // 2 + pad, 0, wp - sx
     )
-
-    # One-hot row fetch: R[y, s, n] = 1[y == by_n + s], contracted over y on
-    # the MXU.  The (Hp, sy*N) <-> (Hp, sy, N) reshapes are tile-preserving
-    # (N is a multiple of 128).
-    ys = jax.lax.broadcasted_iota(jnp.int32, (hp, sy, n), 0)
-    ss = jax.lax.broadcasted_iota(jnp.int32, (hp, sy, n), 1)
-    R2 = (ys == by[None] + ss).astype(f32).reshape(hp, sy * n)
-
-    # Hierarchical column select bounds (static).
-    if wp > 64:
-        nk = (wp - sx) // 32 + 1     # coarse 32-aligned positions
-        w1 = 64                      # band width after coarse select
-        r1 = 32                      # bxr range after coarse select
-    else:
-        nk = 0
-        w1 = wp
-        r1 = wp - sx + 1
-    b8m = (r1 - 1) // 8
-    w2 = sx + 8                      # band width after mid select
-    w1p = max(w1, 8 * b8m + w2)
-
-    chans = []
-    for ch in range(c):
-        imT = jnp.transpose(imb_ref[ch], (1, 0))            # (Wp, Hp)
-        rows = jnp.dot(imT, R2, preferred_element_type=f32)  # (Wp, sy*N)
-        rows3 = rows.reshape(wp, sy, n)
-        if nk:
-            rows3 = jnp.pad(rows3, ((0, max(0, 32 * (nk - 1) + 64 - wp)), (0, 0), (0, 0)))
-            b32 = bx // 32           # (1, N), in [0, nk-1] since bx <= wp-sx
-            band = jnp.zeros((64, sy, n), f32)
-            for k in range(nk):
-                m = (b32 == k).astype(f32)[None]
-                band = band + m * rows3[32 * k : 32 * k + 64]
-            bxr = bx - 32 * b32      # [0, 32)
-        else:
-            band = rows3
-            bxr = bx
-        if w1p > w1:
-            band = jnp.pad(band, ((0, w1p - w1), (0, 0), (0, 0)))
-        b8 = bxr // 8                # [0, b8m]
-        bandm = jnp.zeros((w2, sy, n), f32)
-        for k in range(b8m + 1):
-            m = (b8 == k).astype(f32)[None]
-            bandm = bandm + m * band[8 * k : 8 * k + w2]
-        bxf = bxr - 8 * b8           # [0, 8)
-        win_c = jnp.zeros((sx, sy, n), f32)
-        for f in range(8):
-            m = (bxf == f).astype(f32)[None]
-            win_c = win_c + m * bandm[f : f + sx]
-        chans.append(win_c)
-    win = jnp.stack(chans, axis=1)   # (sx, C, sy, N)
+    win = _fetch_windows(
+        imb_ref, _row_onehot(by, sy, hp, n), bx,
+        ny=sy, nx=sx, hp=hp, wp=wp, n=n, c=c,
+    )
 
     p, pt, pw, conv = _gn_machine(
-        win, t_ref[:], dx_ref[:], dy_ref[:], hes_ref[:], ptref, p_in, by, bx,
-        psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, **consts,
+        win, T, DX, DY, hes3, ptref, p_in, by, bx,
+        psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad,
+        patch_norm=patch_norm, **consts,
     )
     # Densification weights in-kernel (patchgrid.cpp:253-260): absw[k, n],
     # k = j*psz + i row-major, = 1 / sum_c max(minerrval, |pdiff|).
@@ -1128,25 +1186,33 @@ def level_gn_applicable(hp: int, wp: int, c: int, n: int, psz: int,
 
 
 def level_search_pallas(
-    imb, T, DX, DY, hes3, ptref, p_init, *,
+    imgs, tmpl_args, ptref, p_init, *,
     psz, sy, sx, nop, c, pad, w, h, hp, wp, cfg, camlr,
 ):
     """Run the whole-level fused kernel.
 
-    imb (C, Hp, Wp); T/DX/DY (psz_i, C, psz_j, N); hes3 (3, N); ptref (2, N);
-    p_init (nop, N).  Returns (p (nop,N), pt (2,N), absw (psz²,N), conv (N,)).
+    imgs: (ima, dxa, dya, imb) each (C, Hp, Wp) with tmpl_args=None
+    (in-kernel template build), or (imb,) with tmpl_args = (T, DX, DY
+    (psz_i, C, psz_j, N), hes3 (3, N)) precomputed.  ptref (2, N); p_init
+    (nop, N).  Returns (p (nop,N), pt (2,N), absw (psz²,N), conv (N,)).
     """
+    inline = tmpl_args is None
     n0 = ptref.shape[1]
     n = -(-n0 // 128) * 128
     if n != n0:
         padn = n - n0
-        T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, padn)))
-        DX = jnp.pad(DX, ((0, 0), (0, 0), (0, 0), (0, padn)))
-        DY = jnp.pad(DY, ((0, 0), (0, 0), (0, 0), (0, padn)))
-        hes3 = jnp.concatenate(
-            [hes3, jnp.tile(jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32), (1, padn))],
-            axis=1,
-        )
+        if not inline:
+            T, DX, DY, hes3 = tmpl_args
+            T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, padn)))
+            DX = jnp.pad(DX, ((0, 0), (0, 0), (0, 0), (0, padn)))
+            DY = jnp.pad(DY, ((0, 0), (0, 0), (0, 0), (0, padn)))
+            hes3 = jnp.concatenate(
+                [hes3, jnp.tile(jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32), (1, padn))],
+                axis=1,
+            )
+            tmpl_args = (T, DX, DY, hes3)
+        # Far-out-of-bounds centers: padded lanes converge at trip 0 (with
+        # inline templates their clipped-garbage templates are inert).
         ptref = jnp.concatenate(
             [ptref, jnp.full((2, padn), -1e6, jnp.float32)], axis=1
         )
@@ -1154,6 +1220,7 @@ def level_search_pallas(
     stereo_clamp = -1 if cfg.mode != "stereo" else int(camlr)
     kernel = functools.partial(
         _level_kernel,
+        inline_templates=inline,
         hp=hp, wp=wp, minerrval=float(cfg.minerrval),
         psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
         max_iter=int(cfg.max_iter), min_iter=int(cfg.min_iter),
@@ -1164,6 +1231,7 @@ def level_search_pallas(
         outlier_sq=float(cfg.outlier_thresh) ** 2,
         stereo_clamp=stereo_clamp,
     )
+    operands = tuple(imgs) + (tuple(tmpl_args) if not inline else ()) + (ptref, p_init)
     p, pt, aw, conv = pl.pallas_call(
         kernel,
         out_shape=(
@@ -1172,13 +1240,13 @@ def level_search_pallas(
             jax.ShapeDtypeStruct((psz * psz, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(operands),
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_LEVEL_VMEM_BUDGET + 20 * 2**20,
         ),
         interpret=_interpret(),
-    )(imb, T, DX, DY, hes3, ptref, p_init)
+    )(*operands)
     return (
         p[:, :n0],
         pt[:, :n0],
