@@ -169,14 +169,25 @@ def aggregate_flow_dense(
     return flow.reshape(h, w, nop)
 
 
-def merge_backward(we, flow, bw: SearchResult, w: int, h: int, cfg: DISConfig):
+def merge_backward(we, flow, bw: SearchResult, w: int, h: int, cfg: DISConfig,
+                   origin=None, acc_shape=None):
     """Splat negated backward flow with bilinear weights at the converged
     backward query position (patchgrid.cpp:277-375).  `bw` may be any patch
     subset (the spatially-sharded path merges per-device shards, then psums).
-    """
+
+    With `origin`=(oy, ox) and `acc_shape`=(acc_h, acc_w), the accumulators
+    are a LOCAL TILE whose row/col 0 sits at (oy, ox) of the global (h, w)
+    level: bounds checks keep GLOBAL semantics (interior-only, like the
+    reference), only the scatter indices shift into the tile (the 2-D tiled
+    path's halo'd accumulator; contributions beyond the tile are bounded by
+    its halo under the max_disp contract)."""
     psz = cfg.patch_size
     lb = -(psz // 2)
-    npx = w * h
+    if acc_shape is None:
+        acc_h, acc_w = h, w
+    else:
+        acc_h, acc_w = acc_shape
+    npx = acc_w * acc_h
 
     fx = jnp.floor(bw.pt[:, 0])
     fy = jnp.floor(bw.pt[:, 1])
@@ -191,17 +202,21 @@ def merge_backward(we, flow, bw: SearchResult, w: int, h: int, cfg: DISConfig):
     offs = jnp.arange(lb, lb + psz, dtype=jnp.int32)
     oy = jnp.repeat(offs, psz)  # row-major (j, i) to match pweight layout
     ox = jnp.tile(offs, psz)
-    yt = posy[:, None] + oy[None, :]  # (N, psz²)
+    yt = posy[:, None] + oy[None, :]  # (N, psz²), global coords
     xt = posx[:, None] + ox[None, :]
     valid = ((xt >= 1) & (yt >= 1) & (xt < w - 1) & (yt < h - 1)).astype(jnp.float32)
 
+    if origin is not None:
+        yt = jnp.clip(yt - origin[0], 1, acc_h - 1)
+        xt = jnp.clip(xt - origin[1], 1, acc_w - 1)
+
     absw = result_absw(bw, cfg) * valid  # (N, psz²)
-    idxcc = jnp.clip(yt * w + xt, 0, npx - 1)
+    idxcc = jnp.clip(yt * acc_w + xt, 0, npx - 1)
     # The 4 bilinear cells — cc, (x-1)c, c(y-1), (x-1)(y-1) — folded into
     # ONE scatter-add each for we/flow instead of 8 serialized ones
     # (scatter latency dominates; the data is only 4x psz² per patch).
     cells = jnp.clip(
-        jnp.stack([idxcc, idxcc - 1, idxcc - w, idxcc - w - 1], axis=-1),
+        jnp.stack([idxcc, idxcc - 1, idxcc - acc_w, idxcc - acc_w - 1], axis=-1),
         0, npx - 1,
     )  # (N, psz², 4)
     cw = wbil[:, None, :] * absw[:, :, None]  # (N, psz², 4)

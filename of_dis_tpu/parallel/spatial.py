@@ -19,13 +19,16 @@ make spatial sharding work on a TPU mesh.  Two modes:
     over ICI.  Global borders keep replicate semantics via axis-index
     masking.
 
-2-D (ty, tx) tiles (spatial_flow_tiled) — TILED level images (each device
-gathers windows only from its halo'd tile), tile-local densify with a
-border halo-REDUCE instead of a full-image psum, 2-D halo-exchanged
-refinement stencils.  Displacements carried between levels are clamped to
-+-max_disp (the image-halo budget; see the section comment below) — the
-high-resolution / single-pair-latency mode where per-device memory and
-compute must scale as 1/(nty*ntx).
+2-D (ty, tx) tiles (spatial_flow_tiled) — fully TILE-LOCAL memory: inputs
+shard over the mesh, each device builds its own raw tile pyramid (2x2 box
+averages never straddle tile borders), gradients/search windows/warp
+sources come from ppermute halo exchange, densify is tile-local with a
+border halo-REDUCE, fb-merge splats into the halo'd accumulator, and only
+the final finest flow is all_gathered — per-device peak live bytes scale
+as ~1/(nty*ntx) + halos (asserted on the partitioned HLO by
+tests/test_spatial.py).  Displacements carried between levels are clamped
+to +-max_disp (the image-halo budget; see the section comment below) —
+the high-resolution / single-pair-latency mode.
 
 The test invariant for both modes is sharded == single-device
 (tests/test_spatial.py).
@@ -43,7 +46,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DISConfig
 from ..models import refine as rf
-from ..models.densify import result_absw, splat_forward_scatter
+from ..models.densify import merge_backward, result_absw, splat_forward_scatter
 from ..models.dis import _level_flow
 from ..models.grid import level_geometry
 from ..models.inverse_search import build_templates, optimize_level
@@ -307,8 +310,6 @@ def _densify_psum(res, res_other, pt_shard, w, h, cfg, axis):
     a full-size accumulator, psum over the mesh, normalize."""
     we, fo = splat_forward_scatter(res.p, result_absw(res, cfg), pt_shard, w, h, cfg)
     if res_other is not None:
-        from ..models.densify import merge_backward
-
         we, fo = merge_backward(we, fo, res_other, w, h, cfg)
     we = jax.lax.psum(we, axis)
     fo = jax.lax.psum(fo, axis)
@@ -474,7 +475,9 @@ def spatial_flow(
 
 def halo_y(x: jnp.ndarray, k: int, axis: str, edge_mode: str = "edge") -> jnp.ndarray:
     """Row version of halo_x: extend a (hl, w, ...) tile with k rows from
-    each neighbor along `axis`."""
+    each neighbor along `axis`.  edge_mode at the GLOBAL borders: "edge"
+    (replicate), "zero", or "reflect101" (mirror without the edge row —
+    OpenCV BORDER_DEFAULT, the Sobel border)."""
     idx, n = _axis_info(axis)
     bot_src = x[-k:]
     top_src = x[:k]
@@ -483,12 +486,46 @@ def halo_y(x: jnp.ndarray, k: int, axis: str, edge_mode: str = "edge") -> jnp.nd
     if edge_mode == "edge":
         edge_t = jnp.repeat(x[:1], k, axis=0)
         edge_b = jnp.repeat(x[-1:], k, axis=0)
+    elif edge_mode == "reflect101":
+        edge_t = jnp.flip(x[1 : k + 1], axis=0)
+        edge_b = jnp.flip(x[-k - 1 : -1], axis=0)
     else:
         edge_t = jnp.zeros_like(top_src)
         edge_b = jnp.zeros_like(bot_src)
     top = jnp.where(idx == 0, edge_t, from_top)
     bot = jnp.where(idx == n - 1, edge_b, from_bot)
     return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _halo_x_mode(x, k, axis, edge_mode):
+    """halo_x with the extra reflect101 edge mode (column version)."""
+    if edge_mode != "reflect101":
+        return halo_x(x, k, axis, edge_mode)
+    idx, n = _axis_info(axis)
+    from_left = jax.lax.ppermute(x[:, -k:], axis, [(i, i + 1) for i in range(n - 1)])
+    from_right = jax.lax.ppermute(x[:, :k], axis, [(i + 1, i) for i in range(n - 1)])
+    edge_l = jnp.flip(x[:, 1 : k + 1], axis=1)
+    edge_r = jnp.flip(x[:, -k - 1 : -1], axis=1)
+    left = jnp.where(idx == 0, edge_l, from_left)
+    right = jnp.where(idx == n - 1, edge_r, from_right)
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def _halo2d(x, k, ay, ax, edge_mode="edge"):
+    """Extend a (th, tw, ...) tile by k in both axes (2-pass: the y-pass
+    carries the x-halos, so corners arrive from diagonal neighbors)."""
+    return halo_y(_halo_x_mode(x, k, ax, edge_mode), k, ay, edge_mode)
+
+
+def _sobel_tile(tile, ay, ax):
+    """3x3 Sobel /8 on a tile: 1-px halo exchange, reflect-101 at global
+    borders — identical values to pyr.sobel on the full level."""
+    p = _halo2d(tile, 1, ay, ax, "reflect101")
+    diff_x = p[:, 2:] - p[:, :-2]
+    smooth_x = p[:, :-2] + 2.0 * p[:, 1:-1] + p[:, 2:]
+    dx = (diff_x[:-2] + 2.0 * diff_x[1:-1] + diff_x[2:]) * 0.125
+    dy = (smooth_x[2:] - smooth_x[:-2]) * 0.125
+    return dx, dy
 
 
 def _conv_v_sharded(img, coeffs, axis):
@@ -635,9 +672,12 @@ def _get_derivatives_2d(im1, im2w, ay, ax):
 
 
 def _refine_level_2d(flow_tile, im1_tile, im2_tile, y0, x0, ty0, tx0,
-                     level, cfg, ay, ax, w, h):
+                     level, cfg, ay, ax, w, h, camlr=None):
     """refine_level on a 2-D tile; im1 tile is interior-only (halo via
-    exchange), im2 tile is halo'd for the warp."""
+    exchange), im2 tile is halo'd for the warp.  camlr overrides cfg.camlr
+    for the backward (fb-merge) stereo grid."""
+    if camlr is None:
+        camlr = cfg.camlr
     nop = cfg.nop
     n_inner = cfg.tv_innerit * (level + 1)
     qa = 0.25 * cfg.tv_alpha
@@ -664,7 +704,7 @@ def _refine_level_2d(flow_tile, im1_tile, im2_tile, y0, x0, ty0, tx0,
             uu = wx + du
             vv = wy + dv
         else:
-            if cfg.camlr == 0:
+            if camlr == 0:
                 uu = jnp.minimum(wx + du, 0.0)
             else:
                 uu = jnp.maximum(wx + du, 0.0)
@@ -691,31 +731,42 @@ def _halo_reduce_2d(acc, k, ay, ax):
     return acc[k:-k, k:-k]
 
 
-def _level_2d(im1p, dx1p, dy1p, im2p, raw1, raw2, flow_prev, own_idx, own_valid,
-              sl, lw, lh, cfg, ay, ax, max_disp):
-    """One pyramid level with TILED level images.  Inputs im*/raw* are the
-    full (replicated) level arrays; each device dynamic-slices its halo'd
-    tile and never touches the rest (the slices are the only reads, so XLA
-    keeps per-device traffic tile-sized).  flow_prev is the full coarser
-    flow (replicated); returns the full flow (all_gathered)."""
+def _level_2d(tile1, tile2, flow_prev, flow_bw_prev, prev_is_full,
+              own_idx, own_valid, sl, lw, lh, cfg, ay, ax, max_disp):
+    """One pyramid level on TILE-LOCAL data: tile1/tile2 are this device's
+    (th, tw, C) raw level tiles.  Gradients, padded search tiles and the
+    warp-source tile are built by HALO EXCHANGE (ppermute) — nothing
+    full-size is ever materialized per device, so peak live bytes scale as
+    ~1/(nty*ntx) + halos.  flow_prev is the device's coarser flow TILE
+    (th/2, tw/2, nop), or the full coarser field when the previous level ran
+    replicated (prev_is_full).  Returns (flow_tile (th, tw, nop), n_clamped).
+    """
     pad = cfg.patch_size
     psz = cfg.patch_size
     nop = cfg.nop
     iy, ny = _axis_info(ay)
     ix, nx = _axis_info(ax)
-    th, tw = lh // ny, lw // nx
+    th, tw, c = tile1.shape
     y0 = iy * th
     x0 = ix * tw
     hp_g, wp_g = lh + 2 * pad, lw + 2 * pad
     H = psz + int(np.ceil(max_disp)) + 2
 
-    # --- halo'd padded-image tiles (frame origin in global padded coords) ---
-    sy0 = jnp.clip(y0 + pad - H, 0, hp_g - (th + 2 * H))
-    sx0 = jnp.clip(x0 + pad - H, 0, wp_g - (tw + 2 * H))
-    c = im1p.shape[2]
+    # Tile-local gradients (1-px halo exchange; reflect-101 global borders).
+    dx1_t, dy1_t = _sobel_tile(tile1, ay, ax)
 
-    def tile_of(img):
-        return jax.lax.dynamic_slice(img, (sy0, sx0, 0), (th + 2 * H, tw + 2 * H, c))
+    # Halo'd padded tiles: an H-wide exchange with replicate (images) / zero
+    # (gradients) global borders reproduces exactly the corresponding region
+    # of the full padded level arrays.  Frame origin in global padded
+    # coordinates is (y0 + pad - H, x0 + pad - H) — possibly negative;
+    # such virtual rows are replicas/zeros and are never selected (window
+    # bases are clipped to the global padded extent).
+    im1p_t = _halo2d(tile1, H, ay, ax, "edge")
+    im2p_t = _halo2d(tile2, H, ay, ax, "edge")
+    dx1p_t = _halo2d(dx1_t, H, ay, ax, "zero")
+    dy1p_t = _halo2d(dy1_t, H, ay, ax, "zero")
+    sy0 = y0 + pad - H
+    sx0 = x0 + pad - H
 
     geo = level_geometry(lw, lh, cfg)
     pt_full = jnp.asarray(geo.pt_ref)
@@ -724,94 +775,217 @@ def _level_2d(im1p, dx1p, dy1p, im2p, raw1, raw2, flow_prev, own_idx, own_valid,
     pt_own = jnp.where(
         own_valid[:, None], jnp.take(pt_full, own_idx, axis=0), -1e6
     )
-    if flow_prev is None:
-        p_init = jnp.zeros((own_idx.shape[0], nop), jnp.float32)
-        n_clamped = jnp.zeros((), jnp.int32)
-    else:
-        cidx = jnp.take(jnp.asarray(geo.coarse_idx), own_idx)
-        p_init_raw = 2.0 * flow_prev.reshape(-1, nop)[cidx]
-        p_init = jnp.clip(p_init_raw, -max_disp, max_disp)  # the max_disp contract
-        # Surface the contract: count patches whose warm start was clamped
-        # (silently degraded flow otherwise — VERDICT r2 weak #4).
-        hit = own_valid & jnp.any(jnp.abs(p_init_raw) > max_disp, axis=1)
-        n_clamped = jax.lax.psum(
-            jax.lax.psum(jnp.sum(hit.astype(jnp.int32)), ax), ay
-        )
 
+    def warm_start(prev):
+        """(p_init, clamp-hit count) from the coarser flow (full or tiled)."""
+        if prev is None:
+            return (
+                jnp.zeros((own_idx.shape[0], nop), jnp.float32),
+                jnp.zeros((), jnp.int32),
+            )
+        cidx = jnp.take(jnp.asarray(geo.coarse_idx), own_idx)
+        cw = max(lw // 2, 1)
+        if prev_is_full:
+            p_raw = 2.0 * prev.reshape(-1, nop)[cidx]
+        else:
+            # Tiled coarser flow: a patch center inside this tile always
+            # maps into this device's coarser tile (tiles halve exactly).
+            th2, tw2 = prev.shape[:2]
+            ly = jnp.clip(cidx // cw - y0 // 2, 0, th2 - 1)
+            lx = jnp.clip(cidx % cw - x0 // 2, 0, tw2 - 1)
+            p_raw = 2.0 * prev.reshape(-1, nop)[ly * tw2 + lx]
+        # The max_disp contract; count hits (silent degradation guard,
+        # VERDICT r2 weak #4).
+        hit = own_valid & jnp.any(jnp.abs(p_raw) > max_disp, axis=1)
+        return jnp.clip(p_raw, -max_disp, max_disp), jnp.sum(hit.astype(jnp.int32))
+
+    p_init, ncl_fw = warm_start(flow_prev)
     tmpl = build_templates(
-        tile_of(im1p), tile_of(dx1p), tile_of(dy1p), pt_own, cfg, pad,
-        tile_origin=(sy0, sx0),
+        im1p_t, dx1p_t, dy1p_t, pt_own, cfg, pad, tile_origin=(sy0, sx0),
     )
     res = optimize_level(
-        tile_of(im2p), tmpl, pt_own, p_init, cfg, lw, lh, pad,
+        im2p_t, tmpl, pt_own, p_init, cfg, lw, lh, pad,
         tile=(sy0, sx0, hp_g, wp_g),
     )
 
+    res_bw = None
+    ncl_bw = jnp.zeros((), jnp.int32)
+    if cfg.use_fb_merge:
+        # Backward grid on the same tile ownership: swapped images, flipped
+        # camera (oflow.cpp:154-157).
+        dx2_t, dy2_t = _sobel_tile(tile2, ay, ax)
+        dx2p_t = _halo2d(dx2_t, H, ay, ax, "zero")
+        dy2p_t = _halo2d(dy2_t, H, ay, ax, "zero")
+        p_init_bw, ncl_bw = warm_start(flow_bw_prev)
+        tmpl_bw = build_templates(
+            im2p_t, dx2p_t, dy2p_t, pt_own, cfg, pad, tile_origin=(sy0, sx0),
+        )
+        res_bw = optimize_level(
+            im1p_t, tmpl_bw, pt_own, p_init_bw, cfg, lw, lh, pad,
+            camlr=1 - cfg.camlr, tile=(sy0, sx0, hp_g, wp_g),
+        )
+    n_clamped = jax.lax.psum(jax.lax.psum(ncl_fw + ncl_bw, ax), ay)
+
     # --- tile-local densify + halo reduce (no full-image psum) ---
-    ks = psz
-    pt_loc = pt_own - jnp.stack(
-        [x0.astype(jnp.float32) - ks, y0.astype(jnp.float32) - ks]
-    )[None, :]
-    we, fo = splat_forward_scatter(
-        res.p, result_absw(res, cfg), pt_loc, tw + 2 * ks, th + 2 * ks, cfg
-    )
-    acc = jnp.concatenate(
-        [we[:, None], fo], axis=1
-    ).reshape(th + 2 * ks, tw + 2 * ks, 1 + nop)
-    acc = _halo_reduce_2d(acc, ks, ay, ax)
-    we = acc[..., 0]
-    safe = jnp.where(we > 0, we, 1.0)
-    flow = jnp.where((we > 0)[..., None], acc[..., 1:] / safe[..., None], 0.0)
+    # fb-merge splats at the CONVERGED backward positions (runtime, up to
+    # max_disp + psz/2 + 1 from the static centers), so the accumulator
+    # halo must be H-wide then; pure-forward splats reach only psz.
+    ks = H if cfg.use_fb_merge else psz
+
+    def densify_tile(r_fw, r_bw):
+        pt_loc = pt_own - jnp.stack(
+            [x0.astype(jnp.float32) - ks, y0.astype(jnp.float32) - ks]
+        )[None, :]
+        we, fo = splat_forward_scatter(
+            r_fw.p, result_absw(r_fw, cfg), pt_loc, tw + 2 * ks, th + 2 * ks, cfg
+        )
+        if r_bw is not None:
+            we, fo = merge_backward(
+                we, fo, r_bw, lw, lh, cfg,
+                origin=(y0 - ks, x0 - ks), acc_shape=(th + 2 * ks, tw + 2 * ks),
+            )
+        acc = jnp.concatenate(
+            [we[:, None], fo], axis=1
+        ).reshape(th + 2 * ks, tw + 2 * ks, 1 + nop)
+        acc = _halo_reduce_2d(acc, ks, ay, ax)
+        wacc = acc[..., 0]
+        safe = jnp.where(wacc > 0, wacc, 1.0)
+        return jnp.where((wacc > 0)[..., None], acc[..., 1:] / safe[..., None], 0.0)
+
+    flow = densify_tile(res, res_bw)
+    flow_bw = None
+    if cfg.use_fb_merge and sl > cfg.sc_l:
+        flow_bw = densify_tile(res_bw, res)
 
     if cfg.use_tv_refine:
-        # Warp-source tile: halo H, clamped to the raw level size (the warp
-        # clamps taps into whatever extent it gets — max_disp contract).
-        rth = min(th + 2 * H, lh)
-        rtw = min(tw + 2 * H, lw)
-        ry0 = jnp.clip(y0 - (rth - th) // 2, 0, lh - rth)
-        rx0 = jnp.clip(x0 - (rtw - tw) // 2, 0, lw - rtw)
-        im1_t = jax.lax.dynamic_slice(raw1, (y0, x0, 0), (th, tw, c))
-        im2_t = jax.lax.dynamic_slice(raw2, (ry0, rx0, 0), (rth, rtw, c))
+        # Warp-source tile: im2p_t IS the H-wide replicate-halo'd raw tile —
+        # taps beyond it clamp into the halo (the max_disp contract);
+        # global-border taps see the replicate values, i.e. exactly the
+        # reference's clamp-to-edge.
         flow = _refine_level_2d(
-            flow, im1_t, im2_t, y0, x0, ry0, rx0, sl, cfg, ay, ax, lw, lh
+            flow, tile1, im2p_t, y0, x0, y0 - H, x0 - H, sl, cfg, ay, ax,
+            lw, lh, camlr=cfg.camlr,
         )
+        if flow_bw is not None:
+            flow_bw = _refine_level_2d(
+                flow_bw, tile2, im1p_t, y0, x0, y0 - H, x0 - H, sl, cfg, ay, ax,
+                lw, lh, camlr=1 - cfg.camlr,
+            )
 
-    flow = jax.lax.all_gather(flow, ax, axis=1, tiled=True)
-    flow = jax.lax.all_gather(flow, ay, axis=0, tiled=True)
-    return flow, n_clamped
+    return flow, flow_bw, n_clamped
 
 
-def _pair_2d(img1p, img2p, own, cfg, ay, ax, max_disp):
+def _pair_2d(img1p, img2p, own, cfg, ay, ax, max_disp, inputs_sharded):
     """Coarse-to-fine flow for one padded pair on a (ty, tx) tile mesh.
-    Levels that don't tile evenly (or use fb-merge) fall back to the exact
-    replicated pipeline; `own` maps level -> (idx, valid) patch-ownership
-    arrays (sharded over the mesh).  Returns (flow, clamp_counts) where
-    clamp_counts[lv] = patches whose warm start hit the max_disp clamp."""
-    h, w = img1p.shape[:2]
+
+    Levels in `own` (a CONTIGUOUS run from sc_l upward; spatial_flow_tiled
+    enforces it) run tile-local: each device builds its raw tile chain
+    bottom-up from its INPUT SHARD (one 2^sc_l box average + local 2x2
+    averages — non-overlapping boxes never straddle tile borders, so the
+    pyramid needs no halo at all and values are bit-identical to the
+    replicated chain).  Levels above the run are replicated: their full
+    images derive from ONE all_gather of the coarsest tiled level's tiles
+    (small).  Only the final finest flow is gathered full-size.
+
+    Returns (flow, clamp_counts)."""
     pad = cfg.patch_size
-    ny = int(jax.lax.axis_size(ay))
-    nx = int(jax.lax.axis_size(ax))
-    im1s, dx1s, dy1s = pyr.build_pyramid(img1p, cfg.sc_f + 1, pad, first_level=cfg.sc_l)
-    im2s, dx2s, dy2s = pyr.build_pyramid(img2p, cfg.sc_f + 1, pad, first_level=cfg.sc_l)
+    iy, ny = _axis_info(ay)
+    ix, nx = _axis_info(ax)
+    if inputs_sharded:
+        h = img1p.shape[0] * ny
+        w = img1p.shape[1] * nx
+    else:
+        h, w = img1p.shape[:2]
+    c = img1p.shape[2]
+    tiled_lvls = sorted(int(k[2:]) for k in own)
+    sl_t = tiled_lvls[-1] if tiled_lvls else cfg.sc_l - 1
+
+    # --- per-device raw tile chain for the tiled levels ---
+    tiles = {}
+    if tiled_lvls:
+        k0 = 1 << cfg.sc_l
+        for key, img in (("t1", img1p), ("t2", img2p)):
+            lw, lh = w >> cfg.sc_l, h >> cfg.sc_l
+            th, tw = lh // ny, lw // nx
+            if inputs_sharded:
+                sl0 = img
+            else:
+                sl0 = jax.lax.dynamic_slice(
+                    img, (iy * th * k0, ix * tw * k0, 0), (th * k0, tw * k0, c)
+                )
+            if cfg.sc_l > 0:
+                s = jax.lax.reduce_window(
+                    sl0, 0.0, jax.lax.add, (k0, k0, 1), (k0, k0, 1), "VALID"
+                )
+                t = s * (1.0 / (k0 * k0))
+            else:
+                t = sl0
+            tiles[(key, cfg.sc_l)] = t
+            for sl in range(cfg.sc_l + 1, sl_t + 1):
+                t = pyr.downsample_half(t)
+                tiles[(key, sl)] = t
+
+    # --- full images for the replicated levels (above sl_t) ---
+    im1s = im2s = dx1s = dy1s = dx2s = dy2s = None
+    if sl_t < cfg.sc_f:
+        if tiled_lvls:
+            f1 = jax.lax.all_gather(tiles[("t1", sl_t)], ax, axis=1, tiled=True)
+            f1 = jax.lax.all_gather(f1, ay, axis=0, tiled=True)
+            f2 = jax.lax.all_gather(tiles[("t2", sl_t)], ax, axis=1, tiled=True)
+            f2 = jax.lax.all_gather(f2, ay, axis=0, tiled=True)
+            first = sl_t + 1
+            f1 = pyr.downsample_half(f1)
+            f2 = pyr.downsample_half(f2)
+        else:
+            first = cfg.sc_l
+            f1, f2 = img1p, img2p
+        # Build padded image/gradient lists for levels first..sc_f, indexed
+        # by level (entries below `first` stay None).
+        n_lv = cfg.sc_f + 1
+        im1s, dx1s, dy1s = [None] * n_lv, [None] * n_lv, [None] * n_lv
+        im2s, dx2s, dy2s = [None] * n_lv, [None] * n_lv, [None] * n_lv
+        if tiled_lvls:
+            cur1, cur2 = f1, f2
+            for sl in range(first, cfg.sc_f + 1):
+                if sl > first:
+                    cur1 = pyr.downsample_half(cur1)
+                    cur2 = pyr.downsample_half(cur2)
+                for (cur, ims, dxs, dys) in (
+                    (cur1, im1s, dx1s, dy1s), (cur2, im2s, dx2s, dy2s)
+                ):
+                    dx_, dy_ = pyr.sobel(cur)
+                    ims[sl] = pyr.pad_replicate(cur, pad)
+                    dxs[sl] = pyr.pad_zero(dx_, pad)
+                    dys[sl] = pyr.pad_zero(dy_, pad)
+        else:
+            im1s, dx1s, dy1s = pyr.build_pyramid(f1, n_lv, pad, first_level=first)
+            im2s, dx2s, dy2s = pyr.build_pyramid(f2, n_lv, pad, first_level=first)
+
     flow = None
     flow_bw = None
+    prev_is_full = True
     clamp_counts = {}
     for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
         lw, lh = w >> sl, h >> sl
-        raw1 = im1s[sl][pad:-pad, pad:-pad]
-        raw2 = im2s[sl][pad:-pad, pad:-pad]
         if f"lv{sl}" in own:
-            flow, nclamp = _level_2d(
-                im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], raw1, raw2,
-                flow, own[f"lv{sl}"][0], own[f"lv{sl}"][1],
+            flow, flow_bw, nclamp = _level_2d(
+                tiles[("t1", sl)], tiles[("t2", sl)], flow, flow_bw, prev_is_full,
+                own[f"lv{sl}"][0], own[f"lv{sl}"][1],
                 sl, lw, lh, cfg, ay, ax, max_disp,
             )
             clamp_counts[f"lv{sl}"] = nclamp
+            prev_is_full = False
         else:
+            raw1 = im1s[sl][pad:-pad, pad:-pad]
+            raw2 = im2s[sl][pad:-pad, pad:-pad]
             flow, flow_bw = _level_flow(
                 im1s[sl], dx1s[sl], dy1s[sl], im2s[sl], dx2s[sl], dy2s[sl],
                 flow, flow_bw, sl, lw, lh, cfg, raw1, raw2,
             )
+            prev_is_full = True
+    if not prev_is_full:  # finest level ran tiled: gather once at the end
+        flow = jax.lax.all_gather(flow, ax, axis=1, tiled=True)
+        flow = jax.lax.all_gather(flow, ay, axis=0, tiled=True)
     return flow, clamp_counts
 
 
@@ -843,23 +1017,26 @@ def spatial_flow_tiled(
     psz = cfg.patch_size
     H = psz + int(np.ceil(max_disp)) + 2
 
-    # Static patch-ownership tables per tileable level.
+    # Static patch-ownership tables per tileable level.  Tile-local levels
+    # must form a CONTIGUOUS run from sc_l upward (the per-device raw tile
+    # chain and the tiled flow_prev handoff both assume it): stop at the
+    # first non-tileable level.
     own = {}
     specs = {}
-    for sl in range(cfg.sc_f, cfg.sc_l - 1, -1):
+    for sl in range(cfg.sc_l, cfg.sc_f + 1):
         lw, lh = w >> sl, h >> sl
         th, tw = lh // ny, lw // nx
         tileable = (
             lh % ny == 0 and lw % nx == 0
-            and lh + 2 * psz >= th + 2 * H and lw + 2 * psz >= tw + 2 * H
+            # one-hop halo exchange: neighbors must hold the whole halo
+            and th >= H and tw >= H
             and th >= psz and tw >= psz
-            and not cfg.use_fb_merge
         )
         if not tileable:
-            continue
+            break
         geo = level_geometry(lw, lh, cfg)
         if geo.n_patches == 0:
-            continue
+            break
         ty = np.clip(geo.pt_ref[:, 1].astype(np.int64) // th, 0, ny - 1)
         tx = np.clip(geo.pt_ref[:, 0].astype(np.int64) // tw, 0, nx - 1)
         owner = ty * nx + tx
@@ -874,10 +1051,18 @@ def spatial_flow_tiled(
         own[f"lv{sl}"] = (jnp.asarray(idx), jnp.asarray(valid))
         specs[f"lv{sl}"] = (P(ay, ax, None), P(ay, ax, None))
 
+    # With any tiled level, the INPUTS shard over the mesh too (each device
+    # only ever reads its slice); the all-replicated fallback needs them
+    # whole.
+    inputs_sharded = bool(own)
+    in_img = P(ay, ax, None) if inputs_sharded else P()
     fn = jax.shard_map(
-        functools.partial(_pair_2d, cfg=cfg, ay=ay, ax=ax, max_disp=max_disp),
+        functools.partial(
+            _pair_2d, cfg=cfg, ay=ay, ax=ax, max_disp=max_disp,
+            inputs_sharded=inputs_sharded,
+        ),
         mesh=mesh,
-        in_specs=(P(), P(), specs),
+        in_specs=(in_img, in_img, specs),
         out_specs=(P(), {k: P() for k in own}),
         check_vma=False,
     )

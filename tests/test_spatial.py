@@ -176,3 +176,74 @@ def test_spatial_stereo_tiled_2d_matches_single_device():
                                        jnp.asarray(img2[..., None]), cfg))
     np.testing.assert_allclose(tiled, single, rtol=1e-3, atol=1e-3)
     assert abs(np.median(tiled[16:-16, 16:-16, 0]) - (-3.0)) < 0.15
+
+
+def test_spatial_flow_tiled_2d_memory_scales(smooth_pair):
+    """Per-device memory of the tiled 2-D path scales ~1/(nty*ntx): the
+    partitioned HLO must contain NO full-size padded level image (each
+    device holds only halo'd tiles; inputs are sharded), and its largest
+    tensor is the final all_gathered flow.  The single-device module DOES
+    hold the full padded level (sanity check of the probe)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from of_dis_tpu.parallel.spatial import spatial_flow_tiled
+    from of_dis_tpu.models.dis import dis_padded_jit
+
+    img1, img2, _ = smooth_pair  # 96 x 128
+    h, w, pad = 96, 128, 8
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=True, tv_solverit=2,
+    ).validate()
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("ty", "tx"))
+    fn = jax.jit(lambda a, b: spatial_flow_tiled(a, b, cfg, mesh))
+    txt = fn.lower(
+        jnp.zeros((h, w, 1), jnp.float32), jnp.zeros((h, w, 1), jnp.float32)
+    ).compile().as_text()
+    full_padded = f"f32[{h + 2 * pad},{w + 2 * pad},1]"
+    assert full_padded not in txt, "full padded level image materialized per device"
+
+    def max_elems(hlo):
+        return max(
+            int(np.prod([int(d) for d in m.group(1).split(",")]))
+            for m in re.finditer(r"f32\[([0-9,]+)\]", hlo)
+        )
+
+    txt1 = dis_padded_jit.lower(
+        jnp.zeros((h, w, 1), jnp.float32), jnp.zeros((h, w, 1), jnp.float32), cfg
+    ).compile().as_text()
+    assert full_padded in txt1  # the probe shape is real
+    # The dominant temporaries (window-gather bands ~ tile_width * sy * N)
+    # must shrink with the tile: on a 2x2 mesh the per-device max tensor is
+    # well under half the single-device one (measured ~5.8x smaller).
+    assert max_elems(txt) * 2 <= max_elems(txt1), (max_elems(txt), max_elems(txt1))
+
+
+def test_spatial_flow_tiled_2d_fb_merge_matches_single_device(smooth_pair):
+    """fb-merge in the tiled 2-D path: backward search on the same tile
+    ownership, merge splat into the H-halo'd accumulator before the halo
+    reduce, chained + refined backward flow — must equal the dense
+    pipeline (VERDICT r2 item 5)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from of_dis_tpu.parallel.spatial import spatial_flow_tiled
+
+    img1, img2, (tu, tv) = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=True, tv_solverit=2,
+        use_fb_merge=True,
+    ).validate()
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("ty", "tx"))
+    tiled = np.asarray(spatial_flow_tiled(img1, img2, cfg, mesh))
+    from of_dis_tpu.models.dis import dis_padded_jit
+
+    single = np.asarray(dis_padded_jit(jnp.asarray(img1[..., None]),
+                                       jnp.asarray(img2[..., None]), cfg))
+    np.testing.assert_allclose(tiled, single, rtol=1e-3, atol=1e-3)
+    inner = tiled[16:-16, 16:-16]
+    assert abs(np.median(inner[..., 0]) - tu) < 0.15
+    assert abs(np.median(inner[..., 1]) - tv) < 0.15
