@@ -50,9 +50,9 @@ def _stage_templates(im_a, dx_a, dy_a, im_b, dx_b, dy_b, pt_ref, cfg: DISConfig,
     sy = min(2 * psz + 2, hp)
     sx = min(2 * psz + 2, wp)
     if level_gn_applicable(hp, wp, c, pt_ref.shape[0], psz, sy, sx):
-        tmpl_fw = PatchTemplates(tmp=im_a, dx=dx_a, dy=dy_a, hes=None, deferred=True)
+        tmpl_fw = PatchTemplates(tmp=im_a, dx=dx_a, dy=dy_a, hes=None)
         tmpl_bw = (
-            PatchTemplates(tmp=im_b, dx=dx_b, dy=dy_b, hes=None, deferred=True)
+            PatchTemplates(tmp=im_b, dx=dx_b, dy=dy_b, hes=None)
             if cfg.use_fb_merge else None
         )
         return tmpl_fw, tmpl_bw

@@ -52,17 +52,18 @@ MATMUL_EXTRACT_MAX_PIXELS = int(os.environ.get("OF_DIS_MATMUL_EXTRACT_MAX_PIXELS
 class PatchTemplates(NamedTuple):
     """Per-patch template data computed once per level (patch.cpp:57-88).
 
-    When `deferred` is True (levels the fused whole-level kernel handles),
-    tmp/dx/dy hold the PADDED LEVEL IMAGES instead and hes is None: the
-    kernel extracts templates and Hessians itself, in VMEM, with zero
-    XLA-side extraction or relayout work (measured: the XLA template
-    pipeline cost ~0.4 ms/call at op1 B=32)."""
+    When `hes` is None (deferred mode — levels the fused whole-level kernel
+    handles), tmp/dx/dy hold the PADDED LEVEL IMAGES instead: the kernel
+    extracts templates and Hessians itself, in VMEM, with zero XLA-side
+    extraction or relayout work (measured: the XLA template pipeline cost
+    ~0.4 ms/call at op1 B=32).  The sentinel is `hes is None` rather than a
+    bool field because a None subtree survives jit boundaries (a bool
+    NamedTuple field is a pytree LEAF and would come back traced)."""
 
     tmp: jnp.ndarray     # (N, psz, psz, C) templates, or (Hp, Wp, C) im_a
     dx: jnp.ndarray      # (N, psz, psz, C) x-gradients, or (Hp, Wp, C) dx_a
     dy: jnp.ndarray      # (N, psz, psz, C) y-gradients, or (Hp, Wp, C) dy_a
     hes: jnp.ndarray     # (N, 3|1) [H00, H01, H11] / [H00]; None if deferred
-    deferred: bool = False
 
 
 class SearchResult(NamedTuple):
@@ -239,7 +240,7 @@ def optimize_level(
         # images never re-enter HBM and the ~10-HLO window chain disappears
         # (its launch gaps were ~45% of op1 device wall).  Densification
         # weights also come back directly.
-        if tmpl.deferred:
+        if tmpl.hes is None:
             imgs = (
                 jnp.transpose(tmpl.tmp, (2, 0, 1)),
                 jnp.transpose(tmpl.dx, (2, 0, 1)),

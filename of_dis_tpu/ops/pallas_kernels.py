@@ -1006,7 +1006,9 @@ def _fetch_windows(img_ref, R2, bx, *, ny, nx, hp, wp, n, c):
     f32 = jnp.float32
     if wp > 64:
         nk = (wp - nx) // 32 + 1     # coarse 32-aligned positions
-        w1 = 64                      # band width after coarse select
+        # Band must cover bxr (< 32) + nx window columns; 64 suffices only
+        # for nx <= 33 (psz <= 15).  Round up so wide windows stay correct.
+        w1 = 32 + -(-nx // 32) * 32  # band width after coarse select
         r1 = 32                      # bxr range after coarse select
     else:
         nk = 0
@@ -1022,12 +1024,12 @@ def _fetch_windows(img_ref, R2, bx, *, ny, nx, hp, wp, n, c):
         rows = jnp.dot(imT, R2, preferred_element_type=f32)  # (Wp, ny*N)
         rows3 = rows.reshape(wp, ny, n)
         if nk:
-            rows3 = jnp.pad(rows3, ((0, max(0, 32 * (nk - 1) + 64 - wp)), (0, 0), (0, 0)))
+            rows3 = jnp.pad(rows3, ((0, max(0, 32 * (nk - 1) + w1 - wp)), (0, 0), (0, 0)))
             b32 = bx // 32           # (1, N), in [0, nk-1] since bx <= wp-nx
-            band = jnp.zeros((64, ny, n), f32)
+            band = jnp.zeros((w1, ny, n), f32)
             for k in range(nk):
                 m = (b32 == k).astype(f32)[None]
-                band = band + m * rows3[32 * k : 32 * k + 64]
+                band = band + m * rows3[32 * k : 32 * k + w1]
             bxr = bx - 32 * b32      # [0, 32)
         else:
             band = rows3
@@ -1159,7 +1161,7 @@ def _level_words(hp, wp, c, np_, psz, sy, sx):
     return (
         2 * hp * wp * c                  # image + transpose
         + hp * sy * np_                  # one-hot R
-        + (wp + 64) * sy * np_ * c       # rows (+ coarse/mid bands), per ch
+        + (wp + 32 + -(-sx // 32) * 32) * sy * np_ * c  # rows + coarse/mid bands, per ch
         + 2 * sx * c * sy * np_          # win + rolled copy
         + 10 * c * psz * psz * np_       # machine state
         + 64

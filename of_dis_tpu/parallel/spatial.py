@@ -1029,8 +1029,8 @@ def spatial_flow_tiled(
         tileable = (
             lh % ny == 0 and lw % nx == 0
             # one-hop halo exchange: neighbors must hold the whole halo
+            # (H > psz always, so this also covers the patch-fits bound)
             and th >= H and tw >= H
-            and th >= psz and tw >= psz
         )
         if not tileable:
             break

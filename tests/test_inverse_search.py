@@ -379,3 +379,35 @@ def test_pallas_gn_tiled_matches_untiled(smooth_pair):
     np.testing.assert_allclose(np.asarray(r_t[0]), np.asarray(r_u[0]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(r_t[2]), np.asarray(r_u[2]), atol=5e-2)
     assert (np.asarray(r_t[3]) == np.asarray(r_u[3])).mean() > 0.99
+
+
+def test_fetch_windows_wide_window_band_coverage():
+    """_fetch_windows' coarse 32-aligned band must cover bxr(<32)+nx columns.
+
+    Regression: with the band hard-coded to 64 wide, any window wider than
+    33 columns (patch_size >= 16, so sx = 2*psz+2 >= 34) on a level with
+    wp > 64 read zero-padding in its last columns whenever bx % 32 was
+    large — silently wrong GN residuals.  The band is now rounded up to
+    32 + ceil(nx/32)*32."""
+    from of_dis_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(7)
+    hp, wp, c, n = 48, 150, 1, 128
+    ny = nx = 34  # psz=16 -> sx=34 > 33
+    img = jnp.asarray(rng.rand(c, hp, wp).astype(np.float32))
+    by = jnp.asarray(rng.randint(0, hp - ny + 1, size=n).astype(np.int32))
+    # include the worst case bx % 32 == 31 explicitly
+    bx_np = rng.randint(0, wp - nx + 1, size=n).astype(np.int32)
+    bx_np[0] = 31
+    bx_np[1] = 63
+    bx = jnp.asarray(bx_np)
+
+    R2 = pk._row_onehot(by, ny, hp, n)
+    win = np.asarray(
+        pk._fetch_windows(img, R2, bx[None, :], ny=ny, nx=nx, hp=hp, wp=wp, n=n, c=c)
+    )  # (nx, C, ny, N)
+    ref = np.asarray(img)
+    for i in range(n):
+        expect = ref[0, by[i] : by[i] + ny, bx_np[i] : bx_np[i] + nx]  # (ny, nx)
+        np.testing.assert_allclose(win[:, 0, :, i].T, expect, atol=1e-6,
+                                   err_msg=f"patch {i} bx={bx_np[i]}")

@@ -118,3 +118,36 @@ def test_video_stereo_resume(tmp_path):
     outs2 = list(process_video(frames, tmp_path, cfg, loader=loader, warm_start=False))
     for _, p in outs2:
         assert p.stat().st_mtime_ns == mtimes[p], "completed pair was recomputed"
+
+
+def test_instrumented_runner_with_fused_level_kernel(smooth_pair):
+    """Deferred templates (hes=None) must survive the instrument path's jit
+    boundaries.
+
+    Regression: PatchTemplates briefly carried a `deferred: bool` field; as
+    a NamedTuple leaf it came back from tmpl_jit as a traced bool and
+    `if tmpl.deferred:` raised TracerBoolConversionError exactly when the
+    whole-level fused kernel was applicable (op1/op2 coarse levels on TPU).
+    The sentinel is now `hes is None`, which survives as a pytree None."""
+    from of_dis_tpu.ops import pallas_kernels as pk
+    from of_dis_tpu.utils.instrument import dis_flow_timed
+    from of_dis_tpu.models.dis import dis_padded_jit
+    import jax.numpy as jnp
+
+    img1, img2, _ = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=2, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=False,
+    ).validate()
+    old = (pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS)
+    try:
+        pk.GN_PALLAS = pk.GN_PALLAS_CPU = pk.LEVEL_PALLAS = True
+        dis_padded_jit.clear_cache()
+        flow_t, stats = dis_flow_timed(img1, img2, cfg)
+        fused = np.asarray(dis_padded_jit(jnp.asarray(img1[..., None]),
+                                          jnp.asarray(img2[..., None]), cfg))
+    finally:
+        pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS = old
+        dis_padded_jit.clear_cache()
+    assert len(stats) == cfg.n_scales
+    np.testing.assert_allclose(np.asarray(flow_t), fused, rtol=1e-3, atol=1e-3)
