@@ -36,6 +36,21 @@ def fullres_outputs(tmp_path_factory):
                     f"{host_platform!r} at session start)")
     outdir = tmp_path_factory.mktemp("fullres")
     env = dict(os.environ, JAX_PLATFORMS=host_platform)
+    # The axon tunnel has hours-long outages; a configured-but-unreachable
+    # device is an environmental skip, not a code failure.
+    for _ in range(2):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                env=env, capture_output=True, timeout=180,
+            )
+            if probe.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+    else:
+        pytest.skip(f"accelerator platform {host_platform!r} is configured "
+                    "but unreachable (remote tunnel down)")
     runner = os.path.join(os.path.dirname(__file__), "fullres_runner.py")
     proc = subprocess.run(
         [sys.executable, runner, FDIR, str(outdir)],
