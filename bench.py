@@ -38,7 +38,7 @@ def _wait_for_device(max_wait_s: float = 1200.0):
     while True:
         try:
             r = subprocess.run(
-                ["python", "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", "import jax; jax.devices()"],
                 capture_output=True, timeout=180,
             )
             ok = r.returncode == 0
