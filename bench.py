@@ -27,10 +27,12 @@ import time
 import numpy as np
 
 
-def _wait_for_device(max_wait_s: float = 1200.0):
+def _wait_for_device(max_wait_s: float = 3600.0):
     """The axon TPU tunnel flaps occasionally (hours-long outages observed);
-    a bench run that starts during a flap should wait, not crash, so the
-    recorded artifact reflects the code rather than the tunnel."""
+    a bench run that starts during a flap should wait (bounded — an hour —
+    so a permanently-dead tunnel still surfaces as a failure), not crash
+    immediately, so the recorded artifact reflects the code, not the
+    tunnel."""
     import subprocess
     import sys
 

@@ -167,30 +167,10 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
         else:
             band = band.reshape(n, sy, wp, c).transpose(2, 3, 1, 0)  # (Wp, C, sy, N)
 
-    if sx <= 31 and wp > 64 and n > 2048:
-        # Two-stage column select: pick the 2 covering 32-wide segments with
-        # a coarse one-hot (cost nseg*64 per value), then the sx columns
-        # inside the 64 (cost 64*sx) — (nseg + sx)*64 vs Wp*sx work, ~5x
-        # less at op3/op4 band widths.  Small-N bands (the one-hot-matmul
-        # levels, n <= ~1700 by the FLOP cap) skip it: the direct select is
-        # a single fused multiply-reduce, while the segment machinery's
-        # (nseg, 32, ...) intermediates cost ~3 relayout copies that dwarf
-        # the saved FLOPs (measured +0.7 ms/call on the r3 template build).
-        nseg = -(-wp // 32)
-        if nseg * 32 != wp:
-            band = jnp.pad(band, ((0, nseg * 32 - wp), (0, 0), (0, 0), (0, 0)))
-        seg0 = bx // 32
-        segs = jnp.arange(nseg, dtype=jnp.int32)[:, None, None]
-        tseg = seg0[None, None, :] + jnp.arange(2, dtype=jnp.int32)[None, :, None]
-        sel1 = (segs == tseg).astype(img.dtype)  # (nseg, 2, N)
-        bs = band.reshape(nseg, 32, c, sy, n)
-        # (nseg,1,32,C,sy,N) * (nseg,2,1,1,1,N) -> sum ax 0 -> (2,32,C,sy,N)
-        band = jnp.sum(
-            bs[:, None] * sel1[:, :, None, None, None, :], axis=0
-        ).reshape(64, c, sy, n)
-        bx = bx - seg0 * 32  # in [0, 32)
-        wp = 64
-
+    # (No further pre-select here: after GATHER_CHUNK chunking n <= 1024,
+    # where the direct one-hot select below is a single fused
+    # multiply-reduce — a two-stage segment select measured +0.7 ms/call
+    # of relayout copies at these sizes and was removed.)
     kx = jnp.arange(wp, dtype=jnp.int32)[:, None, None]
     tx = bx[None, None, :] + jnp.arange(sx, dtype=jnp.int32)[None, :, None]
     sel = (kx == tx).astype(img.dtype)  # (Wp, sx, N)

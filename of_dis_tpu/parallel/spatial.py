@@ -889,8 +889,8 @@ def _pair_2d(img1p, img2p, own, cfg, ay, ax, max_disp, inputs_sharded):
 
     Returns (flow, clamp_counts)."""
     pad = cfg.patch_size
-    iy, ny = _axis_info(ay)
-    ix, nx = _axis_info(ax)
+    _, ny = _axis_info(ay)
+    _, nx = _axis_info(ax)
     if inputs_sharded:
         h = img1p.shape[0] * ny
         w = img1p.shape[1] * nx
@@ -907,12 +907,9 @@ def _pair_2d(img1p, img2p, own, cfg, ay, ax, max_disp, inputs_sharded):
         for key, img in (("t1", img1p), ("t2", img2p)):
             lw, lh = w >> cfg.sc_l, h >> cfg.sc_l
             th, tw = lh // ny, lw // nx
-            if inputs_sharded:
-                sl0 = img
-            else:
-                sl0 = jax.lax.dynamic_slice(
-                    img, (iy * th * k0, ix * tw * k0, 0), (th * k0, tw * k0, c)
-                )
+            # any tiled level => spatial_flow_tiled shards the inputs
+            # (inputs_sharded = bool(own)), so img IS this device's slice
+            sl0 = img
             if cfg.sc_l > 0:
                 s = jax.lax.reduce_window(
                     sl0, 0.0, jax.lax.add, (k0, k0, 1), (k0, k0, 1), "VALID"

@@ -56,8 +56,10 @@ def census(hlo_text):
     for line in hlo_text.splitlines():
         for kind in COLLECTIVES:
             # Match the opcode position (start of the RHS), not fused-comp
-            # names which XLA prefixes (e.g. %fused_all_gather).
-            m = re.search(r"=\s+([^=]*?)\s+" + kind + r"[\s(]", line)
+            # names which XLA prefixes (e.g. %fused_all_gather).  Also match
+            # the async '-start' form (count starts only; '-done' carries no
+            # transfer of its own) so an async-emitting XLA can't undercount.
+            m = re.search(r"=\s+([^=]*?)\s+" + kind + r"(?:-start)?[\s(]", line)
             if m:
                 out[kind]["count"] += 1
                 out[kind]["bytes"] += shape_bytes(m.group(1))

@@ -22,9 +22,7 @@ def _free_port():
     return port
 
 
-def test_two_process_batched_flow():
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
+def _run_workers(coord):
     here = os.path.dirname(__file__)
     worker = os.path.join(here, "dist_worker.py")
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
@@ -44,6 +42,21 @@ def test_two_process_batched_flow():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_batched_flow():
+    # _free_port has an inherent bind-then-release race on this shared
+    # host; retry once with a fresh port if the coordinator can't bind.
+    for attempt in range(2):
+        port = _free_port()
+        procs, outs = _run_workers(f"127.0.0.1:{port}")
+        bind_race = any(
+            p.returncode != 0 and "address already in use" in out.lower()
+            for p, out in zip(procs, outs)
+        )
+        if not (bind_race and attempt == 0):
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert "DIST_OK" in out, f"worker {pid} no DIST_OK:\n{out[-2000:]}"
