@@ -226,6 +226,7 @@ def optimize_level(
     sy = min(2 * psz + 2, hp)
     sx = min(2 * psz + 2, wp)
 
+    from ..ops import pallas_kernels as pk
     from ..ops.pallas_kernels import (
         gn_pallas_applicable,
         gn_search_pallas,
@@ -293,9 +294,17 @@ def optimize_level(
         bx_g = jnp.clip(bx - tile[1], 0, im_b.shape[1] - sx)
         by = by_g + tile[0]
         bx = bx_g + tile[1]
-    win = gather_windows_rows(im_b, by_g, bx_g, sy, sx)  # (sx, C, sy, N) — patches on lanes
+    use_gn = gn_pallas_applicable(sy, sx, psz, c, n)
+    # Band mode: hand the kernel the coarse 64-wide column band and let it
+    # run the fine select in VMEM (tile path excluded: local tiles can be
+    # narrower than one band).  Requires band-local offsets == bx % 32,
+    # which only holds in the global frame.
+    band = use_gn and tile is None and pk.gn_band_applicable(sx, im_b.shape[1])
+    win = gather_windows_rows(
+        im_b, by_g, bx_g, sy, sx, return_band=band
+    )  # (sx|64, C, sy, N) — patches on lanes
 
-    if gn_pallas_applicable(sy, sx, psz, c, n):
+    if use_gn:
         # Fused Pallas kernel: the whole state machine in VMEM, tiled over
         # the patch axis.  Patch-pixel tensors go in (psz_i, C, psz_j, N)
         # layout (the kernel's horizontal block-select lands there).
@@ -312,7 +321,7 @@ def optimize_level(
             win, Tp, DXp, DYp, hes3, pt_ref.T, p_init.T,
             by[None, :], bx[None, :],
             psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
-            cfg=cfg, camlr=camlr,
+            cfg=cfg, camlr=camlr, band_select=band,
         )
         return SearchResult(
             p=p_t.T,

@@ -76,6 +76,7 @@ def gather_windows_rows(
     bx: jnp.ndarray,     # (N,) int32 left col per window, in [0, Wp-sx]
     sy: int,
     sx: int,
+    return_band: bool = False,
 ) -> jnp.ndarray:
     """Gather per-patch (sy, sx) windows, returned patches-last (sx, C, sy, N).
 
@@ -83,8 +84,19 @@ def gather_windows_rows(
     gathers (or, for small levels, a one-hot MXU matmul) fetch the sy
     full-width rows of every window at once, then a fused one-hot reduce
     over Wp selects the sx columns (VPU, patches on lanes).
+
+    return_band=True (requires sx <= 31 and Wp > 64) stops after the coarse
+    32-aligned select and returns the (64, C, sy, N) band instead: window n
+    occupies band columns [bx_n % 32, bx_n % 32 + sx).  The fused GN kernel
+    consumes this directly and runs the fine column select in VMEM
+    (pallas_kernels.py band_select), skipping the one-hot multiply-reduce
+    that was the largest XLA op left at op1's finest level (~10% device
+    time, profile r3).
     """
+    if return_band:
+        assert sx <= 31 and img.shape[1] > 64
     n = by.shape[0]
+    ow = 64 if return_band else sx
     if n > GATHER_CHUNK:
         c = img.shape[2]
         npad = (-n) % GATHER_CHUNK
@@ -92,18 +104,19 @@ def gather_windows_rows(
         byp = jnp.pad(by, (0, npad)).reshape(k, GATHER_CHUNK)
         bxp = jnp.pad(bx, (0, npad)).reshape(k, GATHER_CHUNK)
         outs = jax.lax.map(
-            lambda ab: _gather_windows_rows(img, ab[0], ab[1], sy, sx),
+            lambda ab: _gather_windows_rows(img, ab[0], ab[1], sy, sx, return_band),
             (byp, bxp),
-        )  # (k, sx, C, sy, chunk)
-        out = jnp.moveaxis(outs, 0, 3).reshape(sx, c, sy, k * GATHER_CHUNK)
+        )  # (k, ow, C, sy, chunk)
+        out = jnp.moveaxis(outs, 0, 3).reshape(ow, c, sy, k * GATHER_CHUNK)
         return out[..., :n]
-    return _gather_windows_rows(img, by, bx, sy, sx)
+    return _gather_windows_rows(img, by, bx, sy, sx, return_band)
 
 
-def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
+def _gather_windows_rows(img, by, bx, sy: int, sx: int,
+                         return_band: bool = False) -> jnp.ndarray:
     hp, wp, c = img.shape
     n = by.shape[0]
-    if n * sy * hp * wp * c * 2 <= BAND_MATMUL_MAX_FLOPS:
+    if not return_band and n * sy * hp * wp * c * 2 <= BAND_MATMUL_MAX_FLOPS:
         # Small level: one-hot MXU matmul beats the row gather (element and
         # even row gathers are latency-bound at ~8 ns/row on TPU), and the
         # transposed product (Wp*C, Hp) @ (Hp, sy*N) lands the band in the
@@ -139,6 +152,8 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
         bv = band.reshape(n, sy, segw, c)
         band = jnp.where(b32 == 0, bv[:, :, :64], bv[:, :, 32:96])
         band = band.transpose(2, 3, 1, 0)  # (64, C, sy, N)
+        if return_band:
+            return band
         bx = bxr - 32 * (bxr // 32)  # in [0, 32)
         wp = 64
     else:
@@ -162,6 +177,8 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int) -> jnp.ndarray:
                 bv[:, :, :, None, :] * sel1[:, None, :, :, None], axis=2
             )  # (N, sy, 2, 32C)
             band = coarse.reshape(n, sy, 64, c).transpose(2, 3, 1, 0)  # (64, C, sy, N)
+            if return_band:
+                return band
             bx = bx - seg0 * 32  # in [0, 32)
             wp = 64
         else:

@@ -301,6 +301,7 @@ def _gn_machine(
     cost: int, patch_norm: bool, normoutlier: float,
     dp_thresh_sq: float, dr_thresh: float, res_thresh: float,
     outlier_sq: float, stereo_clamp: int,  # -1 none, 0 min(p,0), 1 max(p,0)
+    band_select: bool = False,
 ):
     """The whole per-level GN state machine on VMEM-resident VALUES:
     per-iteration window extraction, loss, 2x2 solve, outlier resets and the
@@ -325,6 +326,25 @@ def _gn_machine(
     n = ptref.shape[1]
     lb = -(psz // 2)
     novals = float(c * psz * psz)
+
+    if band_select:
+        # win is the coarse 64-wide band from gather_windows_rows(
+        # return_band=True); window n starts at column bx_n % 32.  Fine
+        # select in VMEM: 8-aligned block (4 offsets) then fine (8 offsets)
+        # — 12 slice-FMA steps instead of XLA's 64-way one-hot reduce.
+        loc = bx - (bx // 32) * 32            # (1, N) in [0, 32)
+        b8 = loc // 8
+        w2 = sx + 8
+        bandm = jnp.zeros((w2, c, sy, n), f32)
+        for k in range(4):
+            m = jnp.where(b8 == k, 1.0, 0.0)[None, None]
+            bandm = bandm + m * win[8 * k : 8 * k + w2]
+        bxf = loc - 8 * b8                    # [0, 8)
+        winx = jnp.zeros((sx, c, sy, n), f32)
+        for k in range(8):
+            m = jnp.where(bxf == k, 1.0, 0.0)[None, None]
+            winx = winx + m * bandm[k : k + sx]
+        win = winx
 
     win_dn = pltpu.roll(win, sy - 1, 2)   # win[., ., k+1, .] (wrap row unused)
     h00 = hes3[0:1, :]
@@ -539,6 +559,7 @@ def _gn_kernel_tiled(
     cost: int, patch_norm: bool, normoutlier: float,
     dp_thresh_sq: float, dr_thresh: float, res_thresh: float,
     outlier_sq: float, stereo_clamp: int,
+    band_select: bool = False,
 ):
     """Big-N variant of _gn_kernel: the patch axis is reshaped (PS, 128) and
     carries the (sublane, lane) tile, so every pixel dimension is an OUTER
@@ -565,6 +586,22 @@ def _gn_kernel_tiled(
     p_in = pinit_ref[:]
     by = by_ref[0]
     bx = bx_ref[0]
+
+    if band_select:
+        # Fine column select from the 64-wide coarse band (see _gn_machine).
+        loc = bx - (bx // 32) * 32            # (PS, 128) in [0, 32)
+        b8 = loc // 8
+        w2 = sx + 8
+        bandm = jnp.zeros((w2, c, sy, ps, nl), f32)
+        for k in range(4):
+            m = jnp.where(b8 == k, 1.0, 0.0)[None, None, None]
+            bandm = bandm + m * win[8 * k : 8 * k + w2]
+        bxf = loc - 8 * b8                    # [0, 8)
+        winx = jnp.zeros((sx, c, sy, ps, nl), f32)
+        for k in range(8):
+            m = jnp.where(bxf == k, 1.0, 0.0)[None, None, None]
+            winx = winx + m * bandm[k : k + sx]
+        win = winx
 
     def csum(x):  # (psz_i, C, psz_j, PS, 128) -> (PS, 128)
         return jnp.sum(x.reshape(psz * c * psz, ps, nl), axis=0)
@@ -750,6 +787,20 @@ def gn_pallas_applicable(sy: int, sx: int, psz: int, c: int, n: int) -> bool:
     return sy > psz and sx > psz
 
 
+# Feed the GN kernel the coarse 64-wide column band instead of XLA-selected
+# sx-wide windows; the fine select runs in VMEM (band_select prologue).
+# Kills the one-hot multiply-reduce that was the largest remaining XLA op at
+# op1's finest level (238 us/call of 2310, profile r3).  Default OFF until
+# measured on the real TPU (repo convention: measure before defaulting).
+GN_BAND_SELECT = os.environ.get("OF_DIS_GN_BAND_SELECT", "0") != "0"
+
+
+def gn_band_applicable(sx: int, wp: int) -> bool:
+    """Band mode needs the coarse-select gather branches: sx <= 31 (the
+    local offset fits [0,32)) and a level wider than one 64-px band."""
+    return GN_BAND_SELECT and sx <= 31 and wp > 64
+
+
 # Mosaic's scoped stack allocation for _gn_kernel_tiled measures ~4.5x the
 # naive live-buffer word count (the unrolled block-select keeps every slice
 # temporary alive); budget against that with an explicit vmem_limit_bytes
@@ -758,25 +809,30 @@ _GN_TILED_STACK_FACTOR = 4.5
 _GN_TILED_VMEM_BUDGET = 56 * 2**20
 
 
-def _gn_tiled_naive_words(sy: int, sx: int, psz: int, c: int) -> int:
-    return sx * c * sy + 3 * c * psz * psz + sx * c * psz + 4 * c * psz * psz + 64
+def _gn_tiled_naive_words(sy: int, sx: int, psz: int, c: int, wb: int | None = None) -> int:
+    w = (wb or sx) * c * sy + 3 * c * psz * psz + sx * c * psz + 4 * c * psz * psz + 64
+    if wb and wb != sx:  # band_select temporaries (bandm + selected win)
+        w += (2 * sx + 8) * c * sy
+    return w
 
 
-def _gn_tiled_ps(sy: int, sx: int, psz: int, c: int):
+def _gn_tiled_ps(sy: int, sx: int, psz: int, c: int, wb: int | None = None):
     """Largest (ps, 128) patch-tile whose estimated scoped VMEM fits.
     Mosaic requires the block's second-minor dim be a multiple of 8."""
-    per_lane = _gn_tiled_naive_words(sy, sx, psz, c) * _GN_TILED_STACK_FACTOR * 4
+    per_lane = _gn_tiled_naive_words(sy, sx, psz, c, wb) * _GN_TILED_STACK_FACTOR * 4
     for ps in (16, 8):
         if per_lane * ps * 128 <= _GN_TILED_VMEM_BUDGET:
             return ps
     return None
 
 
-def _gn_tile_n(sy: int, sx: int, psz: int, c: int) -> int:
+def _gn_tile_n(sy: int, sx: int, psz: int, c: int, wb: int | None = None) -> int:
     """Largest patch-tile size whose VMEM working set fits ~10 MB:
     win + rolled copy (2*sx*c*sy) + rows/rowsb/blend temps (4*sx*c*psz) +
     templates/state/extract outputs (10*c*psz^2) words per lane, f32."""
     words = 2 * sx * c * sy + 4 * sx * c * psz + 10 * c * psz * psz + 64
+    if wb and wb != sx:  # band input + select temporaries
+        words += (wb + sx + 8) * c * sy
     budget = (10 * 2**20) // 4
     for tn in (2048, 1024, 512, 256, 128):
         if words * tn <= budget:
@@ -786,19 +842,22 @@ def _gn_tile_n(sy: int, sx: int, psz: int, c: int) -> int:
 
 def gn_search_pallas(
     win, T, DX, DY, hes3, ptref, p_init, by, bx, *,
-    psz, sy, sx, nop, c, pad, w, h, cfg, camlr,
+    psz, sy, sx, nop, c, pad, w, h, cfg, camlr, band_select=False,
 ):
     """Run the fused GN search kernel, tiled over the patch axis.
 
-    Inputs are patches-last: win (sx, C, sy, N); T/DX/DY (psz_i, C, psz_j, N);
-    hes3 (3, N); ptref (2, N); p_init (nop, N); by/bx (1, N) int32.
+    Inputs are patches-last: win (sx, C, sy, N) — or the coarse (64, C,
+    sy, N) column band when band_select (the kernel runs the fine select);
+    T/DX/DY (psz_i, C, psz_j, N); hes3 (3, N); ptref (2, N); p_init
+    (nop, N); by/bx (1, N) int32.
     Returns (p (nop,N), pt (2,N), pweight (psz_i,C,psz_j,N), converged (N,)).
     """
+    wb = win.shape[0]
     n0 = ptref.shape[1]
     # Big-N levels use the (PS, 128) patch-tile kernel: pixel dims become
     # outer dims (free slicing), tiles are fully utilized, and the VMEM
     # working set per program is bounded by the patch-tile size.
-    ps = _gn_tiled_ps(sy, sx, psz, c)
+    ps = _gn_tiled_ps(sy, sx, psz, c, wb)
     # Tiled only when the patch count fills at least one (ps, 128) tile.
     # Small-N alternatives both measured WORSE than the untiled kernel:
     # padding up to full (8,128) grid tiles 2.5x slower, and running the
@@ -810,11 +869,11 @@ def gn_search_pallas(
         return _gn_search_tiled(
             win, T, DX, DY, hes3, ptref, p_init, by, bx,
             psz=psz, sy=sy, sx=sx, nop=nop, c=c, pad=pad, w=w, h=h,
-            cfg=cfg, camlr=camlr, ps=ps,
+            cfg=cfg, camlr=camlr, ps=ps, band_select=band_select,
         )
     # Tile no larger than the level needs (lane-padding waste dominates tiny
     # levels otherwise).
-    tn = min(_gn_tile_n(sy, sx, psz, c), max(128, -(-n0 // 128) * 128))
+    tn = min(_gn_tile_n(sy, sx, psz, c, wb), max(128, -(-n0 // 128) * 128))
     # Pad the patch (lane) axis to a tile multiple: full VPU lanes per
     # program, and Mosaic miscompiles some (1, n<128) broadcasts.
     n = max(tn, -(-n0 // tn) * tn)
@@ -847,6 +906,7 @@ def gn_search_pallas(
         res_thresh=float(cfg.res_thresh),
         outlier_sq=float(cfg.outlier_thresh) ** 2,
         stereo_clamp=stereo_clamp,
+        band_select=band_select,
     )
 
     def lane_spec(*lead):
@@ -866,7 +926,7 @@ def gn_search_pallas(
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ),
         in_specs=[
-            lane_spec(sx, c, sy),        # win
+            lane_spec(wb, c, sy),        # win (or 64-wide band)
             lane_spec(psz, c, psz),      # T
             lane_spec(psz, c, psz),      # DX
             lane_spec(psz, c, psz),      # DY
@@ -894,10 +954,11 @@ def gn_search_pallas(
 
 def _gn_search_tiled(
     win, T, DX, DY, hes3, ptref, p_init, by, bx, *,
-    psz, sy, sx, nop, c, pad, w, h, cfg, camlr, ps,
+    psz, sy, sx, nop, c, pad, w, h, cfg, camlr, ps, band_select=False,
 ):
     """Big-N GN search: patch axis reshaped (nb, 128), gridded in (ps, 128)
     patch tiles (_gn_kernel_tiled)."""
+    wb = win.shape[0]
     n0 = ptref.shape[1]
     nbp = -(-(-(-n0 // 128)) // ps) * ps
     n = nbp * 128
@@ -932,6 +993,7 @@ def _gn_search_tiled(
         res_thresh=float(cfg.res_thresh),
         outlier_sq=float(cfg.outlier_thresh) ** 2,
         stereo_clamp=stereo_clamp,
+        band_select=band_select,
     )
 
     def tile_spec(*lead):
@@ -951,7 +1013,7 @@ def _gn_search_tiled(
             jax.ShapeDtypeStruct((1, nbp, 128), jnp.int32),
         ),
         in_specs=[
-            tile_spec(sx, c, sy),        # win
+            tile_spec(wb, c, sy),        # win (or 64-wide band)
             tile_spec(psz, c, psz),      # T
             tile_spec(psz, c, psz),      # DX
             tile_spec(psz, c, psz),      # DY

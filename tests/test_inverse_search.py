@@ -411,3 +411,124 @@ def test_fetch_windows_wide_window_band_coverage():
         expect = ref[0, by[i] : by[i] + ny, bx_np[i] : bx_np[i] + nx]  # (ny, nx)
         np.testing.assert_allclose(win[:, 0, :, i].T, expect, atol=1e-6,
                                    err_msg=f"patch {i} bx={bx_np[i]}")
+
+
+@pytest.mark.parametrize("wp_img", [134, 400])  # third branch / wide-segment branch
+def test_gather_windows_band_matches_select(wp_img, monkeypatch):
+    """gather_windows_rows(return_band=True) returns the coarse 64-wide band
+    with window n at columns [bx_n % 32, bx_n % 32 + sx) — the contract the
+    GN kernels' band_select prologue relies on — for both coarse-select
+    gather branches and through lax.map chunking."""
+    from of_dis_tpu.ops import interp
+
+    rng = np.random.RandomState(11)
+    hp, c, n = 60, 1, 300
+    sy, sx = 18, 18
+    img = jnp.asarray(rng.rand(hp, wp_img, c).astype(np.float32))
+    by = jnp.asarray(rng.randint(0, hp - sy + 1, size=n).astype(np.int32))
+    bx_np = rng.randint(0, wp_img - sx + 1, size=n).astype(np.int32)
+    bx_np[:4] = [0, 31, 63, wp_img - sx]  # alignment corners
+    bx = jnp.asarray(bx_np)
+
+    monkeypatch.setattr(interp, "GATHER_CHUNK", 128)  # force chunked path too
+    win = np.asarray(interp.gather_windows_rows(img, by, bx, sy, sx))
+    band = np.asarray(
+        interp.gather_windows_rows(img, by, bx, sy, sx, return_band=True)
+    )
+    assert band.shape == (64, c, sy, n)
+    loc = bx_np % 32
+    for i in range(n):
+        np.testing.assert_array_equal(
+            band[loc[i] : loc[i] + sx, :, :, i], win[:, :, :, i],
+            err_msg=f"patch {i} bx={bx_np[i]}",
+        )
+
+
+def test_gn_band_select_matches_default(smooth_pair):
+    """Feeding the GN kernel the coarse band (fine column select in-kernel)
+    is exactly equivalent to feeding XLA-selected windows: the select math
+    is 0/1-weighted sums, so every window value is bit-identical."""
+    import of_dis_tpu.ops.pallas_kernels as pk
+
+    img1, img2, _ = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=1, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=False,
+    ).validate()
+    pad = cfg.patch_size
+    im1s, dx1s, dy1s = pyr.build_pyramid(jnp.asarray(img1[..., None]), 2, pad)
+    im2s, _, _ = pyr.build_pyramid(jnp.asarray(img2[..., None]), 2, pad)
+    sl = 1
+    lw, lh = img1.shape[1] >> sl, img1.shape[0] >> sl
+    geo = level_geometry(lw, lh, cfg)
+    ptr = jnp.asarray(geo.pt_ref)
+    tmpl = build_templates(im1s[sl], dx1s[sl], dy1s[sl], ptr, cfg, pad)
+    rng = np.random.RandomState(5)
+    p0 = jnp.asarray(rng.randn(geo.n_patches, 2).astype(np.float32))
+
+    sx = min(2 * pad + 2, im2s[sl].shape[1])
+    assert pk.gn_band_applicable(sx, im2s[sl].shape[1]) or not pk.GN_BAND_SELECT
+    old = (pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS, pk.GN_BAND_SELECT)
+    try:
+        pk.GN_PALLAS = pk.GN_PALLAS_CPU = True
+        pk.LEVEL_PALLAS = False
+        pk.GN_BAND_SELECT = True
+        r_band = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
+        pk.GN_BAND_SELECT = False
+        r_win = optimize_level(im2s[sl], tmpl, ptr, p0, cfg, lw, lh, pad)
+    finally:
+        (pk.GN_PALLAS, pk.GN_PALLAS_CPU, pk.LEVEL_PALLAS, pk.GN_BAND_SELECT) = old
+    np.testing.assert_array_equal(np.asarray(r_band.p), np.asarray(r_win.p))
+    np.testing.assert_array_equal(
+        np.asarray(r_band.pweight), np.asarray(r_win.pweight)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_band.converged), np.asarray(r_win.converged)
+    )
+
+
+def test_gn_band_select_tiled_matches_untiled(smooth_pair):
+    """band_select through the big-N (PS, 128) patch-tiled kernel."""
+    from of_dis_tpu.ops.interp import gather_windows_rows
+
+    import of_dis_tpu.ops.pallas_kernels as pk
+
+    img1, img2, _ = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=0, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=False,
+    ).validate()
+    pad = psz = cfg.patch_size
+    im1s, dx1s, dy1s = pyr.build_pyramid(jnp.asarray(img1[..., None]), 1, pad)
+    im2s, _, _ = pyr.build_pyramid(jnp.asarray(img2[..., None]), 1, pad)
+    lh, lw = img1.shape
+    geo = level_geometry(lw, lh, cfg)
+    ptr = jnp.asarray(geo.pt_ref)
+    tmpl = build_templates(im1s[0], dx1s[0], dy1s[0], ptr, cfg, pad)
+    n = geo.n_patches
+    p0 = jnp.zeros((n, 2), jnp.float32)
+
+    hp, wp, c = im2s[0].shape
+    lb = -(psz // 2)
+    sy = min(2 * psz + 2, hp)
+    sx = min(2 * psz + 2, wp)
+    by = jnp.clip(jnp.floor(ptr[:, 1]).astype(jnp.int32) + lb - psz // 2 + pad, 0, hp - sy)
+    bx = jnp.clip(jnp.floor(ptr[:, 0]).astype(jnp.int32) + lb - psz // 2 + pad, 0, wp - sx)
+    band = gather_windows_rows(im2s[0], by, bx, sy, sx, return_band=True)
+    win = gather_windows_rows(im2s[0], by, bx, sy, sx)
+    Tp = jnp.transpose(tmpl.tmp, (2, 3, 1, 0))
+    DXp = jnp.transpose(tmpl.dx, (2, 3, 1, 0))
+    DYp = jnp.transpose(tmpl.dy, (2, 3, 1, 0))
+    rest = (Tp, DXp, DYp, tmpl.hes.T, ptr.T, p0.T, by[None, :], bx[None, :])
+    kw = dict(psz=psz, sy=sy, sx=sx, nop=2, c=c, pad=pad, w=lw, h=lh, cfg=cfg, camlr=0)
+
+    r_band = pk._gn_search_tiled(band, *rest, ps=8, band_select=True, **kw)
+    old = pk._gn_tiled_ps
+    try:
+        pk._gn_tiled_ps = lambda *a: None  # force the untiled kernel
+        r_win = pk.gn_search_pallas(win, *rest, **kw)
+    finally:
+        pk._gn_tiled_ps = old
+    np.testing.assert_allclose(np.asarray(r_band[0]), np.asarray(r_win[0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_band[2]), np.asarray(r_win[2]), atol=5e-2)
+    assert (np.asarray(r_band[3]) == np.asarray(r_win[3])).mean() > 0.99
