@@ -293,6 +293,34 @@ def refine_inner_pallas(wx, wy, mask, derivs, n_inner, solver_it, omega, qa, hd3
 # Fused inverse-compositional Gauss-Newton search (models/inverse_search.py)
 # ---------------------------------------------------------------------------
 
+def _band_fine_select(win, bx, sx: int):
+    """Fine column select from the coarse 64-wide band (gather_windows_rows
+    return_band=True contract: window n starts at band column bx_n % 32).
+    8-aligned block (4 offsets) then fine (8 offsets) — 12 slice-FMA steps
+    instead of XLA's 64-way one-hot reduce.  win's leading axis is the band
+    (64); bx's dims are win's trailing lane dims ((1, N) untiled /
+    (PS, 128) tiled).  Returns win[loc : loc + sx] per lane."""
+    f32 = jnp.float32
+    nd = win.ndim - bx.ndim  # broadcast rank between bx and the band dims
+
+    def bcast(m):
+        return m.reshape((1,) * nd + m.shape)
+
+    loc = bx - (bx // 32) * 32            # in [0, 32)
+    b8 = loc // 8
+    w2 = sx + 8
+    bandm = jnp.zeros((w2,) + win.shape[1:], f32)
+    for k in range(4):
+        m = bcast(jnp.where(b8 == k, 1.0, 0.0))
+        bandm = bandm + m * win[8 * k : 8 * k + w2]
+    bxf = loc - 8 * b8                    # [0, 8)
+    out = jnp.zeros((sx,) + win.shape[1:], f32)
+    for k in range(8):
+        m = bcast(jnp.where(bxf == k, 1.0, 0.0))
+        out = out + m * bandm[k : k + sx]
+    return out
+
+
 def _gn_machine(
     win, T, DX, DY, hes3, ptref, p_in, by, bx,
     *,
@@ -328,23 +356,7 @@ def _gn_machine(
     novals = float(c * psz * psz)
 
     if band_select:
-        # win is the coarse 64-wide band from gather_windows_rows(
-        # return_band=True); window n starts at column bx_n % 32.  Fine
-        # select in VMEM: 8-aligned block (4 offsets) then fine (8 offsets)
-        # — 12 slice-FMA steps instead of XLA's 64-way one-hot reduce.
-        loc = bx - (bx // 32) * 32            # (1, N) in [0, 32)
-        b8 = loc // 8
-        w2 = sx + 8
-        bandm = jnp.zeros((w2, c, sy, n), f32)
-        for k in range(4):
-            m = jnp.where(b8 == k, 1.0, 0.0)[None, None]
-            bandm = bandm + m * win[8 * k : 8 * k + w2]
-        bxf = loc - 8 * b8                    # [0, 8)
-        winx = jnp.zeros((sx, c, sy, n), f32)
-        for k in range(8):
-            m = jnp.where(bxf == k, 1.0, 0.0)[None, None]
-            winx = winx + m * bandm[k : k + sx]
-        win = winx
+        win = _band_fine_select(win, bx, sx)
 
     win_dn = pltpu.roll(win, sy - 1, 2)   # win[., ., k+1, .] (wrap row unused)
     h00 = hes3[0:1, :]
@@ -588,20 +600,7 @@ def _gn_kernel_tiled(
     bx = bx_ref[0]
 
     if band_select:
-        # Fine column select from the 64-wide coarse band (see _gn_machine).
-        loc = bx - (bx // 32) * 32            # (PS, 128) in [0, 32)
-        b8 = loc // 8
-        w2 = sx + 8
-        bandm = jnp.zeros((w2, c, sy, ps, nl), f32)
-        for k in range(4):
-            m = jnp.where(b8 == k, 1.0, 0.0)[None, None, None]
-            bandm = bandm + m * win[8 * k : 8 * k + w2]
-        bxf = loc - 8 * b8                    # [0, 8)
-        winx = jnp.zeros((sx, c, sy, ps, nl), f32)
-        for k in range(8):
-            m = jnp.where(bxf == k, 1.0, 0.0)[None, None, None]
-            winx = winx + m * bandm[k : k + sx]
-        win = winx
+        win = _band_fine_select(win, bx, sx)
 
     def csum(x):  # (psz_i, C, psz_j, PS, 128) -> (PS, 128)
         return jnp.sum(x.reshape(psz * c * psz, ps, nl), axis=0)

@@ -59,10 +59,20 @@ def census(hlo_text):
             # names which XLA prefixes (e.g. %fused_all_gather).  Also match
             # the async '-start' form (count starts only; '-done' carries no
             # transfer of its own) so an async-emitting XLA can't undercount.
-            m = re.search(r"=\s+([^=]*?)\s+" + kind + r"(?:-start)?[\s(]", line)
+            m = re.search(
+                r"=\s+([^=]*?)\s+" + kind + r"(-start)?[\s(]", line
+            )
             if m:
                 out[kind]["count"] += 1
-                out[kind]["bytes"] += shape_bytes(m.group(1))
+                shape = m.group(1)
+                if m.group(2):
+                    # Async '-start' result is a tuple (operand, result, ...):
+                    # count only the RESULT element so byte totals match the
+                    # sync form regardless of which form this XLA emits.
+                    parts = re.findall(r"\w+\[[0-9,]*\]", shape)
+                    if len(parts) >= 2:
+                        shape = parts[1]
+                out[kind]["bytes"] += shape_bytes(shape)
                 break
     return {k: v for k, v in out.items() if v["count"]}
 

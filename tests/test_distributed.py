@@ -51,8 +51,17 @@ def test_two_process_batched_flow():
     for attempt in range(2):
         port = _free_port()
         procs, outs = _run_workers(f"127.0.0.1:{port}")
+        # gRPC surfaces the bind failure with version-dependent text
+        # ("address already in use", "Failed to bind", "could not start
+        # gRPC server", errno 98) — match broadly so the retry actually
+        # fires on any of them.
         bind_race = any(
-            p.returncode != 0 and "address already in use" in out.lower()
+            p.returncode != 0
+            and any(
+                s in out.lower()
+                for s in ("address already in use", "bind", "errno 98",
+                          "could not start")
+            )
             for p, out in zip(procs, outs)
         )
         if not (bind_race and attempt == 0):
