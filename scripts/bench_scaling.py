@@ -143,11 +143,17 @@ def main():
     ap.add_argument("--skip-tpu", action="store_true")
     args = ap.parse_args()
 
+    out = os.path.join(HERE, "..", "bench_scaling.json")
     result = {"virtual_cpu_mesh": virtual_mesh_points()}
     if not args.skip_tpu:
         result["tpu_batch_curve"] = tpu_batch_curve()
-
-    out = os.path.join(HERE, "..", "bench_scaling.json")
+    else:
+        # Keep the previously measured real-chip curve instead of dropping it.
+        try:
+            with open(out) as f:
+                result["tpu_batch_curve"] = json.load(f)["tpu_batch_curve"]
+        except (OSError, KeyError, ValueError):
+            pass
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print("wrote", os.path.abspath(out))
