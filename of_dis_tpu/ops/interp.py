@@ -158,16 +158,18 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
         wp = 64
     else:
         rows = by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]  # (N, sy)
-        band = jnp.take(img.reshape(hp, wp * c), rows.reshape(-1), axis=0)
         if sx <= 31 and wp > 64:
             # Coarse segment select BEFORE the patches-last transpose: the
             # transpose then moves 64/Wp of the bytes (the full-band copy
-            # dominated the op3/op4 window build).
+            # dominated the op3/op4 window build).  Align-32 padding happens
+            # on the IMAGE before the row take, not on the (N, sy, Wp, C)
+            # band after it — Wp/(N*sy/Hp) times fewer bytes copied (the
+            # band pad was 113 us of op1's finest-level chain, profile r3).
             nseg = -(-wp // 32)
-            bv = band.reshape(n, sy, wp, c)
             if nseg * 32 != wp:
-                bv = jnp.pad(bv, ((0, 0), (0, 0), (0, nseg * 32 - wp), (0, 0)))
-            bv = bv.reshape(n, sy, nseg, 32 * c)
+                img = jnp.pad(img, ((0, 0), (0, nseg * 32 - wp), (0, 0)))
+            band = jnp.take(img.reshape(hp, nseg * 32 * c), rows.reshape(-1), axis=0)
+            bv = band.reshape(n, sy, nseg, 32 * c)
             seg0 = bx // 32
             segs = jnp.arange(nseg, dtype=jnp.int32)[None, :, None]
             tseg = seg0[:, None, None] + jnp.arange(2, dtype=jnp.int32)[None, None, :]
@@ -182,6 +184,7 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
             bx = bx - seg0 * 32  # in [0, 32)
             wp = 64
         else:
+            band = jnp.take(img.reshape(hp, wp * c), rows.reshape(-1), axis=0)
             band = band.reshape(n, sy, wp, c).transpose(2, 3, 1, 0)  # (Wp, C, sy, N)
 
     # (No further pre-select here: after GATHER_CHUNK chunking n <= 1024,
