@@ -127,13 +127,16 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
         band = jnp.dot(
             img.reshape(hp, wp * c).T, R, preferred_element_type=jnp.float32
         ).reshape(wp, c, sy, n)  # (Wp, C, sy, N)
-    elif sx <= 31 and wp > 256:
+    elif sx <= 31 and wp > 96:
         # Wide level: ONE covering 128-px overlapping segment per window row
         # (64-px stride, so any <=64-px window fits a single segment) instead
         # of full rows — Wp/128x less data than full rows, half the take
         # rows of the earlier 2x32-px formulation, and every downstream op
         # runs on full 128-wide vector lanes (the 32-wide chain measured
         # ~25% lane utilization and dominated the op3/op4 window build).
+        # Gate at wp > 96: past that the align-32 branch below takes MORE
+        # bytes per row (ceil(wp/32)*32 > 128) on quarter-filled lanes —
+        # mid-width levels (op1/op2 finest, 129..256 px) belong here too.
         stride, segw = 64, 128
         n64 = -(-wp // stride) + 1
         imgp = jnp.pad(img, ((0, 0), (0, n64 * stride - wp), (0, 0)))

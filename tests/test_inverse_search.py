@@ -413,7 +413,7 @@ def test_fetch_windows_wide_window_band_coverage():
                                    err_msg=f"patch {i} bx={bx_np[i]}")
 
 
-@pytest.mark.parametrize("wp_img", [134, 400])  # third branch / wide-segment branch
+@pytest.mark.parametrize("wp_img", [80, 134, 400])  # align-32 / wide-segment (mid + wide) branches
 def test_gather_windows_band_matches_select(wp_img, monkeypatch):
     """gather_windows_rows(return_band=True) returns the coarse 64-wide band
     with window n at columns [bx_n % 32, bx_n % 32 + sx) — the contract the
