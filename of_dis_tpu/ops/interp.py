@@ -134,9 +134,11 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
         # rows of the earlier 2x32-px formulation, and every downstream op
         # runs on full 128-wide vector lanes (the 32-wide chain measured
         # ~25% lane utilization and dominated the op3/op4 window build).
-        # Gate at wp > 96: past that the align-32 branch below takes MORE
-        # bytes per row (ceil(wp/32)*32 > 128) on quarter-filled lanes —
-        # mid-width levels (op1/op2 finest, 129..256 px) belong here too.
+        # Gate at wp > 96: for wp 97..128 both branches move 128 bytes/row
+        # but this one runs full 128-wide lanes (align-32 runs quarter
+        # lanes); past wp=128 align-32 also moves MORE bytes per row
+        # (ceil(wp/32)*32 > 128) — mid-width levels (op1/op2 finest,
+        # 129..256 px) belong here too.
         stride, segw = 64, 128
         n64 = -(-wp // stride) + 1
         imgp = jnp.pad(img, ((0, 0), (0, n64 * stride - wp), (0, 0)))

@@ -26,12 +26,12 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/of_dis_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from of_dis_tpu import operating_point
-from bench_sweep import bench_ours, load_pair
+from bench_sweep import W, bench_ours, load_pair
 
 of1, of2 = load_pair(False)
 res = {}
 for op, (B, nq, reps) in ((1, (32, 128, 3)), (3, (4, 16, 2))):
-    cfg = operating_point(op, 1024)
+    cfg = operating_point(op, W)
     hz, dms = bench_ours(
         cfg, of1, of2, B=B, nq=nq, reps=reps,
         trace_dir=f"/tmp/ab_band_op{op}",

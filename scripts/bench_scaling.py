@@ -153,7 +153,8 @@ def main():
             with open(out) as f:
                 result["tpu_batch_curve"] = json.load(f)["tpu_batch_curve"]
         except (OSError, KeyError, ValueError):
-            pass
+            print("WARNING: no prior tpu_batch_curve in", out,
+                  "- writing without it")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print("wrote", os.path.abspath(out))
