@@ -27,12 +27,17 @@ Prints a markdown table; writes bench_sweep.json at the repo root.
 import json
 import os
 import re
-import statistics
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.join(HERE, "..")
@@ -62,7 +67,7 @@ def run_reference(binpath, a, b, out, op, reps=5):
             times.append(float(m.group(1)))
     if not times:
         return None, None
-    return min(times), statistics.median(times)
+    return min(times), _median(times)
 
 
 def load_pair(stereo=False):
