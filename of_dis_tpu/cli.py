@@ -72,8 +72,12 @@ def main(argv=None) -> int:
 
         try:
             jax.config.update("jax_platforms", envp)
-        except Exception:
-            pass
+        except Exception as e:
+            print(
+                f"of-dis: warning: could not honor JAX_PLATFORMS={envp!r} "
+                f"({e}); continuing on the default backend",
+                file=sys.stderr,
+            )
 
     ap = argparse.ArgumentParser(prog="of-dis", description=__doc__)
     ap.add_argument("img1")

@@ -207,8 +207,17 @@ def merge_backward(we, flow, bw: SearchResult, w: int, h: int, cfg: DISConfig,
     valid = ((xt >= 1) & (yt >= 1) & (xt < w - 1) & (yt < h - 1)).astype(jnp.float32)
 
     if origin is not None:
-        yt = jnp.clip(yt - origin[0], 1, acc_h - 1)
-        xt = jnp.clip(xt - origin[1], 1, acc_w - 1)
+        yt = yt - origin[0]
+        xt = xt - origin[1]
+        # Under the max_disp contract every globally-valid contribution
+        # lands inside the halo'd tile, so this mask is a no-op today — but
+        # if outlier_thresh / halo sizing / max_disp ever drift, out-of-tile
+        # contributions must be DROPPED, not clip-aliased into edge cells.
+        valid = valid * (
+            (yt >= 1) & (yt <= acc_h - 1) & (xt >= 1) & (xt <= acc_w - 1)
+        ).astype(jnp.float32)
+        yt = jnp.clip(yt, 1, acc_h - 1)
+        xt = jnp.clip(xt, 1, acc_w - 1)
 
     absw = result_absw(bw, cfg) * valid  # (N, psz²)
     idxcc = jnp.clip(yt * acc_w + xt, 0, npx - 1)

@@ -1232,13 +1232,9 @@ def _level_words(hp, wp, c, np_, psz, sy, sx):
 LEVEL_PALLAS = os.environ.get("OF_DIS_LEVEL_PALLAS", "1") != "0"
 
 
-def level_gn_applicable(hp: int, wp: int, c: int, n: int, psz: int,
-                        sy: int, sx: int) -> bool:
-    """Whole-level fused search: small levels only (image + all patches in
-    one VMEM-resident program; larger levels use gn_search_pallas whose
-    windows XLA gathers with the segment row take)."""
-    if not LEVEL_PALLAS or not GN_PALLAS or (_interpret() and not GN_PALLAS_CPU):
-        return False
+def _level_shape_ok(hp: int, wp: int, c: int, n: int, psz: int,
+                    sy: int, sx: int) -> bool:
+    """Pure-shape half of level_gn_applicable (shared with gn_route)."""
     if not (sy > psz and sx > psz):
         return False
     np_ = -(-n // 128) * 128
@@ -1246,6 +1242,37 @@ def level_gn_applicable(hp: int, wp: int, c: int, n: int, psz: int,
         return False
     return _level_words(hp, wp, c, np_, psz, sy, sx) * _GN_TILED_STACK_FACTOR * 4 \
         <= _LEVEL_VMEM_BUDGET
+
+
+def level_gn_applicable(hp: int, wp: int, c: int, n: int, psz: int,
+                        sy: int, sx: int) -> bool:
+    """Whole-level fused search: small levels only (image + all patches in
+    one VMEM-resident program; larger levels use gn_search_pallas whose
+    windows XLA gathers with the segment row take)."""
+    if not LEVEL_PALLAS or not GN_PALLAS or (_interpret() and not GN_PALLAS_CPU):
+        return False
+    return _level_shape_ok(hp, wp, c, n, psz, sy, sx)
+
+
+def gn_route(hp: int, wp: int, c: int, n: int, psz: int, sy: int, sx: int) -> str:
+    """Which search realization a level's SHAPE routes to on TPU defaults,
+    ignoring environment/backend gates (OF_DIS_GN_PALLAS, interpret mode).
+
+    Returns "level" (whole-level fused kernel), "tiled<ps>" ((ps, 128)
+    patch-tiled GN kernel), "untiled" (single-program GN kernel) or "xla"
+    (the two-hot XLA loop).  This is the diagnostic surface
+    tests/test_applicability.py pins: the gates budget VMEM with a measured
+    Mosaic stack factor (_GN_TILED_STACK_FACTOR), so a toolchain update that
+    shifts the estimate would silently reroute hot levels — the pinned table
+    turns that into a loud test failure."""
+    if _level_shape_ok(hp, wp, c, n, psz, sy, sx):
+        return "level"
+    if not (sy > psz and sx > psz):
+        return "xla"
+    ps = _gn_tiled_ps(sy, sx, psz, c)
+    if ps is not None and (-(-n // 128) >= ps):
+        return f"tiled{ps}"
+    return "untiled"
 
 
 def level_search_pallas(

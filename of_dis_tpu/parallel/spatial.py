@@ -422,6 +422,24 @@ def _pair_manual(img1p, img2p, cfg, axis):
     return flow
 
 
+def spatial_fn(cfg: DISConfig, mesh: Mesh, axis: str = "tx"):
+    """The bare sharded pipeline callable behind spatial_flow: a shard_map
+    over _pair_manual taking two padded (H, W, C) float32 images.
+
+    Exposed separately so multi-process callers can AOT-compile it
+    (jax.jit(spatial_fn(...)).lower(a, b).compile()) and barrier BEFORE the
+    first execution — the first cross-process collective initializes its
+    Gloo/ICI context under a timeout, which compile-time skew between
+    processes can blow through (tests/dist_worker.py)."""
+    return jax.shard_map(
+        functools.partial(_pair_manual, cfg=cfg, axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
 def spatial_flow(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -441,13 +459,7 @@ def spatial_flow(
     h, w = img1.shape[:2]
     if w % (1 << cfg.sc_f) or h % (1 << cfg.sc_f):
         raise ValueError("inputs must be padded to divisibility by 2^sc_f")
-    fn = jax.shard_map(
-        functools.partial(_pair_manual, cfg=cfg, axis=axis),
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
+    fn = spatial_fn(cfg, mesh, axis)
     return fn(jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32))
 
 
@@ -905,8 +917,6 @@ def _pair_2d(img1p, img2p, own, cfg, ay, ax, max_disp, inputs_sharded):
     if tiled_lvls:
         k0 = 1 << cfg.sc_l
         for key, img in (("t1", img1p), ("t2", img2p)):
-            lw, lh = w >> cfg.sc_l, h >> cfg.sc_l
-            th, tw = lh // ny, lw // nx
             # any tiled level => spatial_flow_tiled shards the inputs
             # (inputs_sharded = bool(own)), so img IS this device's slice
             sl0 = img
@@ -986,38 +996,18 @@ def _pair_2d(img1p, img2p, own, cfg, ay, ax, max_disp, inputs_sharded):
     return flow, clamp_counts
 
 
-def spatial_flow_tiled(
-    img1: jnp.ndarray,
-    img2: jnp.ndarray,
-    cfg: DISConfig,
-    mesh: Mesh,
-    axes: Tuple[str, str] = ("ty", "tx"),
-    max_disp: float = 8.0,
-    return_diagnostics: bool = False,
-) -> jnp.ndarray:
-    """Flow/disparity for ONE pair spatially tiled over a 2-D (ty, tx) mesh
-    with tiled level images (module-header contract: warm-start displacement
-    clamped to +-max_disp in the tiled levels).
+def tile_ownership(h, w, cfg, ny, nx, max_disp, ay, ax):
+    """Static patch-ownership tables per tileable level of an (h, w) pair on
+    an (ny, nx) tile grid — shared by spatial_flow_tiled and the 3-axis
+    (data, ty, tx) composition (multihost.flow_2d_tiled).
 
-    With return_diagnostics=True, returns (flow, clamp_counts) where
-    clamp_counts maps "lv<sl>" -> number of patches whose warm start was
-    clamped at that level.  A nonzero count means the result deviates from
-    the single-device pipeline for fast content (the max_disp contract) —
-    callers should raise max_disp or fall back to spatial_flow."""
-    if img1.ndim == 2:
-        img1, img2 = img1[..., None], img2[..., None]
-    h, w = img1.shape[:2]
-    if w % (1 << cfg.sc_f) or h % (1 << cfg.sc_f):
-        raise ValueError("inputs must be padded to divisibility by 2^sc_f")
-    ay, ax = axes
-    ny, nx = mesh.shape[ay], mesh.shape[ax]
+    Tile-local levels must form a CONTIGUOUS run from sc_l upward (the
+    per-device raw tile chain and the tiled flow_prev handoff both assume
+    it): stop at the first non-tileable level.  Returns (own, specs):
+    own["lv<sl>"] = (idx (ny,nx,K) int32, valid (ny,nx,K) bool) and the
+    matching shard_map PartitionSpecs over (ay, ax)."""
     psz = cfg.patch_size
     H = psz + int(np.ceil(max_disp)) + 2
-
-    # Static patch-ownership tables per tileable level.  Tile-local levels
-    # must form a CONTIGUOUS run from sc_l upward (the per-device raw tile
-    # chain and the tiled flow_prev handoff both assume it): stop at the
-    # first non-tileable level.
     own = {}
     specs = {}
     for sl in range(cfg.sc_l, cfg.sc_f + 1):
@@ -1047,6 +1037,35 @@ def spatial_flow_tiled(
             valid[t // nx, t % nx, : mine.size] = True
         own[f"lv{sl}"] = (jnp.asarray(idx), jnp.asarray(valid))
         specs[f"lv{sl}"] = (P(ay, ax, None), P(ay, ax, None))
+    return own, specs
+
+
+def spatial_flow_tiled(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    cfg: DISConfig,
+    mesh: Mesh,
+    axes: Tuple[str, str] = ("ty", "tx"),
+    max_disp: float = 8.0,
+    return_diagnostics: bool = False,
+) -> jnp.ndarray:
+    """Flow/disparity for ONE pair spatially tiled over a 2-D (ty, tx) mesh
+    with tiled level images (module-header contract: warm-start displacement
+    clamped to +-max_disp in the tiled levels).
+
+    With return_diagnostics=True, returns (flow, clamp_counts) where
+    clamp_counts maps "lv<sl>" -> number of patches whose warm start was
+    clamped at that level.  A nonzero count means the result deviates from
+    the single-device pipeline for fast content (the max_disp contract) —
+    callers should raise max_disp or fall back to spatial_flow."""
+    if img1.ndim == 2:
+        img1, img2 = img1[..., None], img2[..., None]
+    h, w = img1.shape[:2]
+    if w % (1 << cfg.sc_f) or h % (1 << cfg.sc_f):
+        raise ValueError("inputs must be padded to divisibility by 2^sc_f")
+    ay, ax = axes
+    ny, nx = mesh.shape[ay], mesh.shape[ax]
+    own, specs = tile_ownership(h, w, cfg, ny, nx, max_disp, ay, ax)
 
     # With any tiled level, the INPUTS shard over the mesh too (each device
     # only ever reads its slice); the all-replicated fallback needs them

@@ -37,6 +37,22 @@ def _ms(t0):
     return (time.perf_counter() - t0) * 1000.0
 
 
+# Jitted stage wrappers are cached at module level so a SECOND -v 2
+# invocation (same config/shapes) pays zero trace cost — the reference's
+# timing table measures steady-state stage work (oflow.cpp:296-304), not
+# tracing.  Keys are (kind, cfg, ...) — DISConfig is a frozen (hashable)
+# dataclass and level_geometry() is lru_cached, so closing over `geo` per
+# (sl, w, h) key is stable across calls.
+_JIT_CACHE: Dict = {}
+
+
+def _cached_jit(key, make):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = make()
+    return fn
+
+
 def dis_flow_timed(
     img1,
     img2,
@@ -66,10 +82,13 @@ def dis_flow_timed(
     pad = cfg.patch_size
 
     t0 = time.perf_counter()
-    pyr_fn = jax.jit(
-        lambda x: pyr.build_pyramid(
-            x, cfg.sc_f + 1, pad, gradmag_input, first_level=cfg.sc_l
-        )
+    pyr_fn = _cached_jit(
+        ("pyr", cfg, gradmag_input),
+        lambda: jax.jit(
+            lambda x: pyr.build_pyramid(
+                x, cfg.sc_f + 1, pad, gradmag_input, first_level=cfg.sc_l
+            )
+        ),
     )
     im1s, dx1s, dy1s = jax.block_until_ready(pyr_fn(img1))
     im2s, dx2s, dy2s = jax.block_until_ready(pyr_fn(img2))
@@ -77,16 +96,22 @@ def dis_flow_timed(
     if v > 1:
         print(f"TIME (Pyramide+Gradients) (ms): {t_pyr:3g}")
 
-    tmpl_jit = jax.jit(
-        lambda ia, dxa, dya, ib, dxb, dyb, ptr: _stage_templates(
-            ia, dxa, dya, ib, dxb, dyb, ptr, cfg, pad
-        )
-    )
-    opt_jit = jax.jit(
-        lambda ia, ib, tf, tb, ptr, p0, p0b, wl, hl: _stage_optimize(
-            ia, ib, tf, tb, ptr, p0, p0b, cfg, wl, hl, pad
+    tmpl_jit = _cached_jit(
+        ("tmpl", cfg, pad),
+        lambda: jax.jit(
+            lambda ia, dxa, dya, ib, dxb, dyb, ptr: _stage_templates(
+                ia, dxa, dya, ib, dxb, dyb, ptr, cfg, pad
+            )
         ),
-        static_argnums=(7, 8),
+    )
+    opt_jit = _cached_jit(
+        ("opt", cfg, pad),
+        lambda: jax.jit(
+            lambda ia, ib, tf, tb, ptr, p0, p0b, wl, hl: _stage_optimize(
+                ia, ib, tf, tb, ptr, p0, p0b, cfg, wl, hl, pad
+            ),
+            static_argnums=(7, 8),
+        ),
     )
 
     stats: List[Dict] = []
@@ -118,14 +143,20 @@ def dis_flow_timed(
         t_opt = _ms(t0)
 
         t0 = time.perf_counter()
-        dens = jax.jit(partial(_stage_densify, sl=sl, geo=geo, cfg=cfg))
+        dens = _cached_jit(
+            ("dens", cfg, sl, geo.w, geo.h),
+            lambda: jax.jit(partial(_stage_densify, sl=sl, geo=geo, cfg=cfg)),
+        )
         flow, flow_bw = jax.block_until_ready(dens(res_fw, res_bw))
         t_dens = _ms(t0)
 
         t_tv = 0.0
         if cfg.use_tv_refine:
             t0 = time.perf_counter()
-            ref = jax.jit(partial(_stage_refine, sl=sl, cfg=cfg))
+            ref = _cached_jit(
+                ("ref", cfg, sl),
+                lambda: jax.jit(partial(_stage_refine, sl=sl, cfg=cfg)),
+            )
             flow, flow_bw = jax.block_until_ready(
                 ref(flow, flow_bw,
                     im1s[sl][pad:-pad, pad:-pad], im2s[sl][pad:-pad, pad:-pad])

@@ -78,6 +78,34 @@ def load_pair(stereo=False):
     return a, b
 
 
+# v5e peak HBM bandwidth (GB/s); the lens that matters here — the DIS
+# workload is select/bandwidth-bound, not FLOP-bound (see ARCHITECTURE.md
+# "Utilization"), so the sweep reports achieved GB/s vs this peak rather
+# than an MFU that would read as ~0% by construction.
+V5E_HBM_GBPS = 819.0
+
+
+def _cost_analysis(cfg, a, b):
+    """(flops, bytes accessed) per call from XLA's compiled cost model."""
+    import jax
+
+    from of_dis_tpu.parallel.batch import _batched_padded
+
+    try:
+        c = (
+            jax.jit(lambda x, y: _batched_padded(x, y, cfg))
+            .lower(a, b)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception as e:
+        print(f"  (no cost analysis: {e})", file=sys.stderr)
+        return None, None
+
+
 def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
     """Sustained Hz on a deep queue + device-busy ms/pair from a trace."""
     import jax
@@ -92,6 +120,7 @@ def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
     a = jax.device_put(jnp.asarray(np.broadcast_to(p1, (B,) + p1.shape)))
     b = jax.device_put(jnp.asarray(np.broadcast_to(p2, (B,) + p2.shape)))
     np.asarray(_batched_padded(a, b, cfg))  # compile
+    flops, acc_bytes = _cost_analysis(cfg, a, b)
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -121,7 +150,24 @@ def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
             device_ms = total_ps / 1e9 / ncal / B
         except Exception as e:  # CPU backend / no protoc: wall-clock only
             print(f"  (no device trace: {e})", file=sys.stderr)
-    return best, device_ms
+
+    util = {}
+    if flops is not None:
+        util["flops_pair"] = flops / B
+        util["hbm_bytes_pair"] = acc_bytes / B
+    if device_ms is not None:
+        # busy% = device time per pair over sustained wall per pair; the gap
+        # is dispatch idle (the axon tunnel adds ~10 ms/call — CLAUDE.md).
+        util["device_busy_pct"] = round(100.0 * device_ms / (1000.0 / best), 1)
+        if acc_bytes is not None:
+            gbps = (acc_bytes / B) / (device_ms * 1e-3) / 1e9
+            util["device_gbps"] = round(gbps, 1)
+            util["pct_hbm_peak"] = round(100.0 * gbps / V5E_HBM_GBPS, 1)
+        if flops is not None:
+            util["device_gflops"] = round(
+                (flops / B) / (device_ms * 1e-3) / 1e9, 1
+            )
+    return best, device_ms, util
 
 
 def main():
@@ -141,12 +187,13 @@ def main():
     rows = []
 
     def one_case(case, op, cfg, img1, img2, golden, refbin, B, nq, reps):
-        ours_hz, device_ms = bench_ours(
+        ours_hz, device_ms, util = bench_ours(
             cfg, img1, img2, B=B, nq=nq, reps=reps, trace_dir=f"/tmp/ofdis_sweep_{case}"
         )
         row = dict(case=case, ours_hz=round(ours_hz, 1))
         if device_ms is not None:
             row["device_ms_pair"] = round(device_ms, 3)
+        row.update(util)
         ref_hz = REF_PINNED_HZ[case]
         row["ref_hz_pinned"] = ref_hz
         if refbin and os.path.exists(refbin):
@@ -186,11 +233,16 @@ def main():
     one_case("de_op2", 2, cfg, de1, de2, golden,
              os.path.join(refdir, "run_DE_INT"), 32, 128, 3)
 
-    print("| case | ours (Hz) | device ms/pair | ref pinned (Hz) | ref fresh (Hz) | speedup | EPE vs ref (px) |")
-    print("|---|---|---|---|---|---|---|")
+    print("| case | ours (Hz) | device ms/pair | busy % | dev GB/s (%HBM) | ref pinned (Hz) | ref fresh (Hz) | speedup | EPE vs ref (px) |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for c in rows:
+        bw = (
+            f"{c['device_gbps']} ({c['pct_hbm_peak']}%)"
+            if "device_gbps" in c else "-"
+        )
         print(
             f"| {c['case']} | {c['ours_hz']} | {c.get('device_ms_pair', '-')} | "
+            f"{c.get('device_busy_pct', '-')} | {bw} | "
             f"{c['ref_hz_pinned']} | {c.get('ref_hz_fresh', '-')} | "
             f"{c['speedup']} | {c['epe_vs_ref']} |"
         )

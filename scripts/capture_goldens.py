@@ -172,8 +172,25 @@ def main():
     args, params = explicit_args(scf8, usefbcon=1)
     run("of_rgb_fbcon", "run_OF_RGB", "of1.png", "of2.png", ".flo", args, params)
 
+    # Pin each case's measured EPE (our pipeline vs the fresh golden, CPU
+    # path) into the manifest: tests/test_golden.py asserts
+    # EPE <= max(2 x recorded, 0.02) per case, so a capture-time 0.01-px
+    # case can't silently drift to 0.07 under a blanket bound.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    from golden_util import epe as _epe, run_case as _run_case
+
+    for c in cases:
+        ours, golden = _run_case(c)
+        c["epe_captured"] = round(_epe(ours, golden), 5)
+        print("  epe", c["case"], c["epe_captured"])
+
     with open(os.path.join(GOLD, "manifest.json"), "w") as f:
         json.dump(dict(width=W, height=H, cases=cases), f, indent=1)
+        f.write("\n")
     print(f"{len(cases)} goldens in {GOLD}")
 
     capture_fullres(refbin)

@@ -94,6 +94,46 @@ def main():
         )
         n_checked += rows.shape[0]
     assert n_checked == k, n_checked
+
+    # --- cross-process SPATIAL phase: one pair tiled over a tx axis that
+    # spans BOTH processes (multihost.py's ICI/DCN split claim: the ppermute
+    # halo exchange + psum densify here actually crosses the process
+    # boundary).  Strips are exact: must match the single-process pipeline.
+    import time as _time
+
+    from of_dis_tpu.parallel.spatial import spatial_fn
+
+    def _log(msg):
+        print(f"[worker {pid} t={_time.monotonic():.1f}s] {msg}", flush=True)
+
+    mesh_tx = Mesh(np.asarray(jax.devices()), ("tx",))
+    rep = NamedSharding(mesh_tx, P())
+    ga1 = jax.make_array_from_process_local_data(rep, a[0].astype(np.float32))
+    gb1 = jax.make_array_from_process_local_data(rep, b[0].astype(np.float32))
+    # AOT-compile BEFORE the first cross-process collective, then barrier:
+    # the first Gloo collective initializes its context under a ~30 s
+    # timeout, and trace/compile skew between two workers interleaving on
+    # this shared, loaded 1-core host routinely exceeds that.  The barrier
+    # must therefore NOT itself be a Gloo collective
+    # (multihost_utils.sync_global_devices trips the same 30 s window) —
+    # use the coordination-service barrier, which takes an explicit timeout.
+    _log("compiling spatial program")
+    compiled = jax.jit(spatial_fn(cfg, mesh_tx, "tx")).lower(ga1, gb1).compile()
+    _log("compiled; entering coordination barrier")
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier(
+        "ofdis_spatial_compiled", timeout_in_ms=600_000
+    )
+    _log("barrier passed; executing")
+    sflow = compiled(ga1, gb1)
+    got = np.asarray(sflow.addressable_shards[0].data)
+    ref1 = np.asarray(
+        _batched_padded(jnp.asarray(a[:1]), jnp.asarray(b[:1]), cfg)
+    )[0]
+    np.testing.assert_allclose(got, ref1, rtol=1e-4, atol=1e-4)
+    print("DIST_SPATIAL_OK", flush=True)
+
     jax.distributed.shutdown()
     print("DIST_OK", flush=True)
 

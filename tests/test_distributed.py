@@ -68,4 +68,5 @@ def test_two_process_batched_flow():
             break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert "DIST_SPATIAL_OK" in out, f"worker {pid} no DIST_SPATIAL_OK:\n{out[-2000:]}"
         assert "DIST_OK" in out, f"worker {pid} no DIST_OK:\n{out[-2000:]}"

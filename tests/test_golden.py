@@ -22,7 +22,9 @@ from golden_util import epe, load_manifest, run_case
 _MANIFEST = load_manifest()
 _CASES = {c["case"]: c for c in _MANIFEST["cases"]}
 
-# Mean-EPE tolerance ~2x the measured deviation per case family.
+# Fallback mean-EPE tolerance for cases without a pinned capture-time EPE;
+# cases WITH "epe_captured" in the manifest get max(2 x recorded, 0.02), so
+# a 0.01-px case can't silently regress to 0.07 under a blanket bound.
 _TOL = 0.08
 # Raw (no-TV) search on high-frequency texture is chaotic: few-ULP float
 # differences (XLA vs Mosaic vs the reference's SSE) flip ~2% of patches
@@ -40,8 +42,11 @@ def test_golden(name):
     e = epe(ours, golden)
     mag = float(np.mean(np.sqrt(np.sum(golden**2, axis=-1))))
     assert np.isfinite(e)
-    tol = _CASE_TOL.get(name, _TOL)
-    assert e < tol, f"{name}: mean EPE {e:.4f} vs golden |flow|={mag:.3f}"
+    tol = _CASE_TOL.get(name)
+    if tol is None:
+        rec = case.get("epe_captured")
+        tol = _TOL if rec is None else max(2.0 * rec, 0.02)
+    assert e < tol, f"{name}: mean EPE {e:.4f} (tol {tol:.4f}) vs golden |flow|={mag:.3f}"
 
 
 @pytest.mark.parametrize("name", ["of_tex_op1", "of_tex_op2"])

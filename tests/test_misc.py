@@ -43,6 +43,28 @@ def test_instrumented_runner_matches_fused(smooth_pair):
     np.testing.assert_allclose(np.asarray(flow_t), fused, rtol=1e-3, atol=1e-3)
 
 
+def test_instrumented_runner_no_retrace_on_second_call(smooth_pair):
+    """A second -v 2 invocation (same config/shapes) must pay ZERO trace
+    cost: the stage jits are module-cached, so the timing table measures
+    steady-state stage work like the reference's (oflow.cpp:296-304), not
+    tracing (VERDICT r3 item 10)."""
+    img1, img2, _ = smooth_pair
+    cfg = DISConfig(
+        mode="flow", channels=1, sc_f=2, sc_l=0, max_iter=4, min_iter=4,
+        patch_size=8, overlap=0.4, use_tv_refine=True,
+    ).validate()
+    import of_dis_tpu.utils.instrument as inst
+
+    inst.dis_flow_timed(img1, img2, cfg)
+    n_jits = len(inst._JIT_CACHE)
+    n_traces = sum(f._cache_size() for f in inst._JIT_CACHE.values())
+    inst.dis_flow_timed(img1, img2, cfg)
+    assert len(inst._JIT_CACHE) == n_jits, "second call created new jit objects"
+    assert (
+        sum(f._cache_size() for f in inst._JIT_CACHE.values()) == n_traces
+    ), "second call retraced a cached stage jit"
+
+
 def test_epe_and_stats():
     gt = np.zeros((4, 5, 2))
     fl = np.zeros((4, 5, 2))

@@ -75,6 +75,24 @@ def test_flow_2d_mesh_matches_single(batch):
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-4)
 
 
+def test_flow_2d_tiled_3axis_matches_single(batch):
+    """(data, ty, tx) 3-axis mesh (SURVEY §5 full composition): batch over
+    data, each pair on the tile-LOCAL 2-D path — must match unsharded."""
+    from of_dis_tpu.parallel.multihost import flow_2d_tiled, mesh_3d
+
+    a, b = batch
+    a, b = a[:4], b[:4]
+    cfg = tiny_cfg()
+    mesh = mesh_3d(n_data=2, n_ty=2, n_tx=2)
+    out, cc = flow_2d_tiled(a, b, cfg, mesh, return_diagnostics=True)
+    out = np.asarray(out)
+    ref = np.asarray(batched_flow(a, b, cfg))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-4)
+    # per-pair clamp diagnostics: one count per pair in the batch
+    for k, v in cc.items():
+        assert np.asarray(v).shape == (4,), (k, np.asarray(v).shape)
+
+
 def test_init_distributed_single_host_noop():
     from of_dis_tpu.parallel.multihost import init_distributed
 

@@ -59,6 +59,91 @@ def test_video_resume_skips_done(frame_files, tmp_path, monkeypatch):
     assert len(results) == 3
 
 
+@pytest.fixture()
+def frame_seq():
+    """6 in-memory frames with constant drift (2, 1) px/frame."""
+    rng = np.random.RandomState(0)
+    H, W = 48, 64
+    base = gaussian_filter(rng.rand(H + 32, W + 32) * 255, 2.0).astype(np.float32)
+    return [
+        base[8 + i : 8 + i + H, 8 + 2 * i : 8 + 2 * i + W] for i in range(6)
+    ]
+
+
+def test_video_batched_serving(frame_seq, tmp_path):
+    """Batched driver: N pairs per jit call, chunk-level checkpointing, and
+    flow quality on a constant-drift sequence."""
+    from of_dis_tpu import io
+    from of_dis_tpu.parallel.video import process_video_batched
+
+    out = tmp_path / "flows"
+    results = list(
+        process_video_batched(
+            frame_seq, out, cfg(), batch_size=2, loader=lambda a: a
+        )
+    )
+    assert [i for i, _ in results] == list(range(5))
+    ck = json.loads((out / "progress.json").read_text())
+    assert ck["last_completed"] == 4
+    flow = io.read_flo(results[2][1])
+    inner = flow[12:-12, 12:-12]
+    assert abs(np.median(inner[..., 0]) + 2.0) < 0.3
+    assert abs(np.median(inner[..., 1]) + 1.0) < 0.3
+
+
+def test_video_batched_kill_resume_matches_uninterrupted(frame_seq, tmp_path):
+    """A run killed mid-sequence and resumed must produce ALL outputs
+    byte-identical to the uninterrupted batched run (same chunk boundaries,
+    warm start re-read from the completed output file)."""
+    from of_dis_tpu import io
+    from of_dis_tpu.parallel.video import process_video_batched
+
+    c = cfg()
+    loader = lambda a: a
+
+    full = tmp_path / "full"
+    outs = list(
+        process_video_batched(frame_seq, full, c, batch_size=2, loader=loader)
+    )
+
+    part = tmp_path / "part"
+    it = process_video_batched(
+        frame_seq, part, c, batch_size=2, loader=loader, queue_depth=0
+    )
+    next(it)
+    next(it)  # chunk 0 (pairs 0, 1) completed, then "crash"
+    del it
+    ck = json.loads((part / "progress.json").read_text())
+    assert ck["last_completed"] == 1
+    outs2 = list(
+        process_video_batched(frame_seq, part, c, batch_size=2, loader=loader)
+    )
+    assert [i for i, _ in outs2] == [i for i, _ in outs]
+    for (i, p_full), (_, p_part) in zip(outs, outs2):
+        np.testing.assert_array_equal(
+            io.read_flo(p_full), io.read_flo(p_part), err_msg=f"pair {i}"
+        )
+
+
+def test_video_batched_last_partial_chunk_and_mesh(frame_seq, tmp_path):
+    """Odd pair count (5 pairs, batch 4 -> padded final chunk) on a data
+    mesh: every real output written, padding pairs never written."""
+    from of_dis_tpu.parallel.batch import data_mesh
+    from of_dis_tpu.parallel.video import process_video_batched
+
+    out = tmp_path / "flows"
+    results = list(
+        process_video_batched(
+            frame_seq, out, cfg(), batch_size=4, loader=lambda a: a,
+            mesh=data_mesh(4),
+        )
+    )
+    assert [i for i, _ in results] == list(range(5))
+    assert sorted(p.name for p in out.glob("*.flo")) == [
+        f"flow_{i:06d}.flo" for i in range(5)
+    ]
+
+
 def test_video_stereo_warm_resume_matches_uninterrupted(tmp_path):
     """Stereo warm start is live; a resumed run must re-seed from the last
     .pfm (internal sign convention) and produce identical remaining outputs
