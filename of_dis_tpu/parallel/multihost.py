@@ -79,6 +79,20 @@ def mesh_2d(n_data: Optional[int] = None, n_tx: int = 1, devices=None) -> Mesh:
     return Mesh(devs[: n_data * n_tx].reshape(n_data, n_tx), ("data", "tx"))
 
 
+# jitted shard_map programs cached by structural config: a fresh
+# jax.jit(shard_map(...)) per call would key the jit cache on a new function
+# object and re-trace + re-compile the full coarse-to-fine program on EVERY
+# invocation.  DISConfig and Mesh are both hashable.
+_FN_CACHE: dict = {}
+
+
+def _cached_fn(key, make):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _FN_CACHE[key] = make()
+    return fn
+
+
 def mesh_3d(
     n_data: Optional[int] = None, n_ty: int = 1, n_tx: int = 1, devices=None
 ) -> Mesh:
@@ -148,28 +162,36 @@ def flow_2d_tiled(
     p1 = jax.device_put(p1, NamedSharding(mesh, in_img))
     p2 = jax.device_put(p2, NamedSharding(mesh, in_img))
 
-    def body(a_shard, b_shard, own_local):
-        flows, counts = [], []
-        for i in range(a_shard.shape[0]):
-            f, cc = _pair_2d(
-                a_shard[i], b_shard[i], own_local, cfg, "ty", "tx",
-                max_disp, inputs_sharded,
-            )
-            flows.append(f)
-            counts.append(cc)
-        stacked = {
-            k: jnp.stack([c[k] for c in counts]) for k in (counts[0] if counts else {})
-        }
-        return jnp.stack(flows), stacked
+    def make():
+        def body(a_shard, b_shard, own_local):
+            flows, counts = [], []
+            for i in range(a_shard.shape[0]):
+                f, cc = _pair_2d(
+                    a_shard[i], b_shard[i], own_local, cfg, "ty", "tx",
+                    max_disp, inputs_sharded,
+                )
+                flows.append(f)
+                counts.append(cc)
+            stacked = {
+                k: jnp.stack([c[k] for c in counts])
+                for k in (counts[0] if counts else {})
+            }
+            return jnp.stack(flows), stacked
 
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(in_img, in_img, specs),
-            out_specs=(P("data"), {k: P("data") for k in own}),
-            check_vma=False,
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(in_img, in_img, specs),
+                out_specs=(P("data"), {k: P("data") for k in own}),
+                check_vma=False,
+            )
         )
+
+    fn = _cached_fn(
+        ("2d_tiled", cfg, mesh, float(max_disp), inputs_sharded,
+         tuple(sorted(own))),
+        make,
     )
     flow, clamp_counts = fn(p1, p2, own)
     if cfg.sc_l != 0:
@@ -212,22 +234,25 @@ def flow_2d(
     p1 = jax.device_put(p1, sh)
     p2 = jax.device_put(p2, sh)
 
-    def body(a_shard, b_shard):  # (B/n_data, Hp, Wp, C), inside shard_map
-        outs = [
-            _pair_manual(a_shard[i], b_shard[i], cfg, "tx")
-            for i in range(a_shard.shape[0])
-        ]
-        return jnp.stack(outs)
+    def make():
+        def body(a_shard, b_shard):  # (B/n_data, Hp, Wp, C), inside shard_map
+            outs = [
+                _pair_manual(a_shard[i], b_shard[i], cfg, "tx")
+                for i in range(a_shard.shape[0])
+            ]
+            return jnp.stack(outs)
 
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P("data"), P("data")),
-            out_specs=P("data"),
-            check_vma=False,
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )
         )
-    )
+
+    fn = _cached_fn(("2d", cfg, mesh), make)
     flow = fn(p1, p2)
     if cfg.sc_l != 0:
         sc = float(1 << cfg.sc_l)

@@ -27,7 +27,7 @@ from ..models.dis import _dis_padded, dis_raw
 from ..ops.pyramid import divisibility_padding, pad_to_divisible, resize_bilinear
 
 
-def _warm_start_from(flow: np.ndarray, cfg: DISConfig) -> jnp.ndarray:
+def _warm_start_from(flow, cfg: DISConfig) -> jnp.ndarray:
     """Downsample a full-res flow to the sc_f+1 grid expected by the
     coarsest-scale init (run_dense.cpp:372-375 semantics: scale values and
     area-resample by 2^-(sc_f+1))."""
@@ -37,6 +37,29 @@ def _warm_start_from(flow: np.ndarray, cfg: DISConfig) -> jnp.ndarray:
     out_h = max(1, int(padded.shape[0] * fct))
     out_w = max(1, int(padded.shape[1] * fct))
     return resize_bilinear(padded * fct, out_h, out_w)
+
+
+# Jitted alias used by the batched driver for BOTH the live device-side
+# chain and resume's file read-back: one program, so a resumed run's warm
+# starts match the uninterrupted run's bit-exactly (float32 .flo/.pfm
+# round-trips are byte-exact).
+_warm_single = partial(jax.jit, static_argnames=("cfg",))(_warm_start_from)
+
+
+def _pair_path(out_dir: Path, cfg: DISConfig, i: int) -> Path:
+    """Output file of pair i — shared by BOTH drivers (cross-driver resume
+    depends on the naming staying identical)."""
+    if cfg.mode == "flow":
+        return out_dir / f"flow_{i:06d}.flo"
+    return out_dir / f"disp_{i:06d}.pfm"
+
+
+def _read_pair(out_dir: Path, cfg: DISConfig, i: int) -> np.ndarray:
+    """Read pair i's output back in the INTERNAL convention (stereo .pfm
+    negates on write, so negate on read) — shared by both drivers' resume."""
+    if cfg.mode == "flow":
+        return io.read_flo(_pair_path(out_dir, cfg, i))
+    return np.asarray(io.read_pfm(_pair_path(out_dir, cfg, i), negate=True))[..., None]
 
 
 def process_video(
@@ -63,19 +86,13 @@ def process_video(
     prev_flow: Optional[np.ndarray] = None
 
     for i in range(len(frames) - 1):
-        if cfg.mode == "flow":
-            out_path = out_dir / f"flow_{i:06d}.flo"
-        else:
-            out_path = out_dir / f"disp_{i:06d}.pfm"
+        out_path = _pair_path(out_dir, cfg, i)
         if i <= done and out_path.exists():
             if warm_start and i == done:
                 # only the LAST completed pair's flow seeds the next one;
                 # stereo re-seeds from the .pfm in the internal (negated)
                 # sign convention so a resumed run matches an uninterrupted one
-                if cfg.mode == "flow":
-                    prev_flow = io.read_flo(out_path)
-                else:
-                    prev_flow = np.asarray(io.read_pfm(out_path, negate=True))[..., None]
+                prev_flow = _read_pair(out_dir, cfg, i)
             yield i, out_path
             continue
         a = load(frames[i])
@@ -113,20 +130,6 @@ def _video_chunk(p1, p2, init, cfg: DISConfig, h0: int, w0: int):
         )(flow)
     t, _, l, _ = divisibility_padding(h0, w0, 1 << cfg.sc_f)
     return flow[:, t : t + h0, l : l + w0]
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def _warm_single(flow, cfg: DISConfig):
-    """Jitted _warm_start_from on a CROPPED full-res flow.  One shared
-    program for both the live chain (device array in) and resume (the .flo/
-    .pfm read back from disk) — float32 file round-trips are byte-exact, so
-    a resumed run's warm starts match the uninterrupted run's bit-exactly."""
-    scf = 1 << cfg.sc_f
-    padded = pad_to_divisible(flow, scf)
-    fct = 2.0 ** (-(cfg.sc_f + 1))
-    out_h = max(1, int(padded.shape[0] * fct))
-    out_w = max(1, int(padded.shape[1] * fct))
-    return resize_bilinear(padded * fct, out_h, out_w)
 
 
 def process_video_batched(
@@ -174,16 +177,8 @@ def process_video_batched(
         done = json.loads(ckpt.read_text()).get("last_completed", -1)
 
     load = loader or (lambda p: io.load_image(p, cfg.channels))
-
-    def pair_path(i: int) -> Path:
-        if cfg.mode == "flow":
-            return out_dir / f"flow_{i:06d}.flo"
-        return out_dir / f"disp_{i:06d}.pfm"
-
-    def read_back(i: int) -> np.ndarray:
-        if cfg.mode == "flow":
-            return io.read_flo(pair_path(i))
-        return np.asarray(io.read_pfm(pair_path(i), negate=True))[..., None]
+    pair_path = lambda i: _pair_path(out_dir, cfg, i)
+    read_back = lambda i: _read_pair(out_dir, cfg, i)
 
     B = batch_size
     start_chunk = 0

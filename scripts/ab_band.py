@@ -32,7 +32,7 @@ of1, of2 = load_pair(False)
 res = {}
 for op, (B, nq, reps) in ((1, (32, 128, 3)), (3, (4, 16, 2))):
     cfg = operating_point(op, W)
-    hz, dms = bench_ours(
+    hz, dms, _util = bench_ours(
         cfg, of1, of2, B=B, nq=nq, reps=reps,
         trace_dir=f"/tmp/ab_band_op{op}",
     )

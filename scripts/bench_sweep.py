@@ -85,27 +85,6 @@ def load_pair(stereo=False):
 V5E_HBM_GBPS = 819.0
 
 
-def _cost_analysis(cfg, a, b):
-    """(flops, bytes accessed) per call from XLA's compiled cost model."""
-    import jax
-
-    from of_dis_tpu.parallel.batch import _batched_padded
-
-    try:
-        c = (
-            jax.jit(lambda x, y: _batched_padded(x, y, cfg))
-            .lower(a, b)
-            .compile()
-            .cost_analysis()
-        )
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
-    except Exception as e:
-        print(f"  (no cost analysis: {e})", file=sys.stderr)
-        return None, None
-
-
 def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
     """Sustained Hz on a deep queue + device-busy ms/pair from a trace."""
     import jax
@@ -119,14 +98,26 @@ def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
     p2 = np.asarray(pyr.pad_to_divisible(jnp.asarray(img2, jnp.float32), scf))
     a = jax.device_put(jnp.asarray(np.broadcast_to(p1, (B,) + p1.shape)))
     b = jax.device_put(jnp.asarray(np.broadcast_to(p2, (B,) + p2.shape)))
-    np.asarray(_batched_padded(a, b, cfg))  # compile
-    flops, acc_bytes = _cost_analysis(cfg, a, b)
+    # One AOT compile serves the whole case: cost analysis, warm-up, the
+    # bench loop and the trace all use the same executable (a second
+    # jit-path compile of the identical program would add minutes per case).
+    run = _batched_padded.lower(a, b, cfg).compile()
+    flops = acc_bytes = None
+    try:
+        c = run.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        flops = float(c.get("flops", 0.0))
+        acc_bytes = float(c.get("bytes accessed", 0.0))
+    except Exception as e:
+        print(f"  (no cost analysis: {e})", file=sys.stderr)
+    np.asarray(run(a, b))  # warm-up / first-dispatch
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         last = None
         for _ in range(nq):
-            last = _batched_padded(a, b, cfg)
+            last = run(a, b)
         np.asarray(last)
         best = max(best, nq * B / (time.perf_counter() - t0))
 
@@ -143,7 +134,7 @@ def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
             with jax.profiler.trace(trace_dir):
                 last = None
                 for _ in range(ncal):
-                    last = _batched_padded(a, b, cfg)
+                    last = run(a, b)
                 np.asarray(last)
             ops = parse_trace(trace_dir)
             total_ps = sum(t for t, _ in ops.values())

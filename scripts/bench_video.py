@@ -59,41 +59,59 @@ def main():
     loader = lambda x: x
     out = {}
 
+    reps = 3  # CLAUDE.md: the tunnel has up to 2x run-to-run noise; best-of-3
+
     # --- serial driver (reference shape: one dispatch per pair) ---
-    d = tempfile.mkdtemp(prefix="ofdis_vid_serial_")
-    try:
-        it = process_video(frames[: args.serial_pairs + 1], d, cfg, loader=loader)
-        next(it)  # compile + first pair outside the timed window
-        t0 = time.perf_counter()
-        n = sum(1 for _ in it)
-        dt = time.perf_counter() - t0
-        out["serial_hz"] = round(n / dt, 2)
-        out["serial_pairs"] = n
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    # Warm-up must consume TWO pairs: pair 0 compiles the cold-start program
+    # (dis_padded_jit) and pair 1 the warm-started one (dis_padded_init_jit)
+    # — a different jitted program; timing from pair 1 would bill its
+    # compile to the serial driver.
+    best = 0.0
+    for _ in range(reps):
+        d = tempfile.mkdtemp(prefix="ofdis_vid_serial_")
+        try:
+            it = process_video(
+                frames[: args.serial_pairs + 1], d, cfg, loader=loader
+            )
+            next(it)
+            next(it)
+            t0 = time.perf_counter()
+            n = sum(1 for _ in it)
+            dt = time.perf_counter() - t0
+            best = max(best, n / dt)
+            out["serial_pairs"] = n
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    out["serial_hz"] = round(best, 2)
 
     # --- batched driver (pod serving shape) ---
+    # compile outside the timed window with a short prefix run (covers both
+    # the chunk program and the warm-start program)
     d = tempfile.mkdtemp(prefix="ofdis_vid_batched_")
     try:
-        # compile outside the timed window with a short prefix run
-        pre = list(process_video_batched(
-            frames[: args.batch + 1], d, cfg, batch_size=args.batch,
+        list(process_video_batched(
+            frames[: 2 * args.batch + 1], d, cfg, batch_size=args.batch,
             loader=loader, resume=False,
         ))
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
-        t0 = time.perf_counter()
-        res = list(process_video_batched(
-            frames, d, cfg, batch_size=args.batch, loader=loader,
-            queue_depth=args.queue_depth, resume=False,
-        ))
-        dt = time.perf_counter() - t0
-        out["batched_hz"] = round(len(res) / dt, 2)
-        out["batched_pairs"] = len(res)
-        out["batch_size"] = args.batch
-        out["queue_depth"] = args.queue_depth
     finally:
         shutil.rmtree(d, ignore_errors=True)
+    best = 0.0
+    for _ in range(reps):
+        d = tempfile.mkdtemp(prefix="ofdis_vid_batched_")
+        try:
+            t0 = time.perf_counter()
+            res = list(process_video_batched(
+                frames, d, cfg, batch_size=args.batch, loader=loader,
+                queue_depth=args.queue_depth, resume=False,
+            ))
+            dt = time.perf_counter() - t0
+            best = max(best, len(res) / dt)
+            out["batched_pairs"] = len(res)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    out["batched_hz"] = round(best, 2)
+    out["batch_size"] = args.batch
+    out["queue_depth"] = args.queue_depth
 
     out["speedup_batched_vs_serial"] = round(out["batched_hz"] / out["serial_hz"], 1)
     out["op"] = args.op

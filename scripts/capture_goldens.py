@@ -67,6 +67,51 @@ def make_textured_pair(rng):
     return img1.astype(np.uint8), img2.astype(np.uint8), np.stack([u, v], -1)
 
 
+def make_rot_pair(rng, h=H, w=W):
+    """Rotation + zoom warp (non-translational flow: every direction present,
+    magnitude grows radially to ~6 px at the corners) — stresses the
+    coarse-to-fine handoff and densify anisotropy that pure-translation
+    content never exercises."""
+    base = gaussian_filter(rng.rand(h + 40, w + 40, 3).astype(np.float32), 2.5)
+    base = (base - base.min()) / (base.max() - base.min()) * 255.0
+    img1 = base[20 : 20 + h, 20 : 20 + w]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = np.deg2rad(1.2)
+    s = 1.015
+    # backward map: position in img2 samples img1 at the inverse transform
+    xr = (xx - cx) * np.cos(th) / s - (yy - cy) * np.sin(th) / s + cx
+    yr = (xx - cx) * np.sin(th) / s + (yy - cy) * np.cos(th) / s + cy
+    img2 = np.stack(
+        [
+            map_coordinates(base[..., c], [yr + 20, xr + 20], order=1)
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    return img1.astype(np.uint8), img2.astype(np.uint8)
+
+
+def make_bigdisp_pair(rng, h=H, w=W):
+    """Large smooth displacement (~12 px max, 1.5x the op2 patch travel per
+    level) — exercises the multi-level warm-start chain where a single
+    level's search radius cannot reach the match."""
+    base = gaussian_filter(rng.rand(h + 60, w + 60, 3).astype(np.float32), 3.0)
+    base = (base - base.min()) / (base.max() - base.min()) * 255.0
+    img1 = base[30 : 30 + h, 30 : 30 + w]
+    u = smooth_field(rng, h, w, 32, 12.0)
+    v = smooth_field(rng, h, w, 32, 8.0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img2 = np.stack(
+        [
+            map_coordinates(base[..., c], [yy + v + 30, xx + u + 30], order=1)
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    return img1.astype(np.uint8), img2.astype(np.uint8)
+
+
 def make_de_pair(rng, h=H, w=W):
     """Rectified stereo pair, img1 = left camera: content shifts LEFT going
     left->right image, so the match for img1(x) is img2(x - d) with d in
@@ -113,10 +158,13 @@ def main():
     of1, of2 = make_of_pair(rng)
     de1, de2 = make_de_pair(np.random.RandomState(13))
     tx1, tx2, tx_gt = make_textured_pair(np.random.RandomState(21))
+    rot1, rot2 = make_rot_pair(np.random.RandomState(33))
+    big1, big2 = make_bigdisp_pair(np.random.RandomState(44))
 
     # cv2 writes BGR; store PNGs so cv::imread in the reference and our loader
     # see identical bytes.
-    for name, img in [("of1.png", of1), ("of2.png", of2), ("de1.png", de1), ("de2.png", de2)]:
+    for name, img in [("of1.png", of1), ("of2.png", of2), ("de1.png", de1), ("de2.png", de2),
+                      ("rot1.png", rot1), ("rot2.png", rot2), ("big1.png", big1), ("big2.png", big2)]:
         cv2.imwrite(os.path.join(GOLD, name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
     for name, img in [("tx1.png", tx1), ("tx2.png", tx2)]:
         cv2.imwrite(os.path.join(GOLD, name), img)
@@ -154,6 +202,10 @@ def main():
     # Textured (high-gradient) content, op1 + op2.
     run("of_tex_op1", "run_OF_INT", "tx1.png", "tx2.png", ".flo", ["1"])
     run("of_tex_op2", "run_OF_INT", "tx1.png", "tx2.png", ".flo", ["2"])
+    # Rotation+zoom and large-displacement content at op2 (non-translational
+    # flow; 12-px displacements that need the full warm-start chain).
+    run("of_rot_op2", "run_OF_INT", "rot1.png", "rot2.png", ".flo", ["2"])
+    run("of_big_op2", "run_OF_INT", "big1.png", "big2.png", ".flo", ["2"])
 
     # Variant-3 explicit-parameter cases exercising features op points skip.
     for case, ov in [

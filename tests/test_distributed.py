@@ -36,7 +36,10 @@ def _run_workers(coord):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=840)
+            # budget: batched phase + TWO whole-pipeline compiles (batched +
+            # AOT spatial) on a loaded 1-core host, plus the worker's own
+            # 600 s compile-skew barrier
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:
