@@ -1063,6 +1063,30 @@ def spatial_flow_tiled(
     h, w = img1.shape[:2]
     if w % (1 << cfg.sc_f) or h % (1 << cfg.sc_f):
         raise ValueError("inputs must be padded to divisibility by 2^sc_f")
+    fn, own = spatial_tiled_fn(cfg, mesh, h, w, axes=axes, max_disp=max_disp)
+    flow, clamp_counts = fn(
+        jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32), own
+    )
+    if return_diagnostics:
+        return flow, clamp_counts
+    return flow
+
+
+def spatial_tiled_fn(
+    cfg: DISConfig,
+    mesh: Mesh,
+    h: int,
+    w: int,
+    axes: Tuple[str, str] = ("ty", "tx"),
+    max_disp: float = 8.0,
+):
+    """The bare 2-D tiled pipeline callable behind spatial_flow_tiled plus
+    its static ownership tables: returns (fn, own) with
+    fn(img1, img2, own) -> (flow, clamp_counts).
+
+    Exposed (like spatial_fn) so multi-process callers can AOT-compile and
+    barrier before the first cross-process collective
+    (tests/dist_worker.py)."""
     ay, ax = axes
     ny, nx = mesh.shape[ay], mesh.shape[ax]
     own, specs = tile_ownership(h, w, cfg, ny, nx, max_disp, ay, ax)
@@ -1082,9 +1106,4 @@ def spatial_flow_tiled(
         out_specs=(P(), {k: P() for k in own}),
         check_vma=False,
     )
-    flow, clamp_counts = fn(
-        jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32), own
-    )
-    if return_diagnostics:
-        return flow, clamp_counts
-    return flow
+    return fn, own

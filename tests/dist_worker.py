@@ -134,6 +134,49 @@ def main():
     np.testing.assert_allclose(got, ref1, rtol=1e-4, atol=1e-4)
     print("DIST_SPATIAL_OK", flush=True)
 
+    # --- cross-process 2-D TILED phase: (ty, tx) spanning both processes —
+    # tile-local level images, window halo exchange and the densify
+    # halo-REDUCE (ppermute) all cross the process boundary.
+    from of_dis_tpu.parallel.spatial import spatial_tiled_fn
+
+    mesh_t = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("ty", "tx"))
+    H_, W_ = a.shape[1], a.shape[2]
+    tfn, own = spatial_tiled_fn(cfg, mesh_t, H_, W_)
+    assert own, "expected at least one tile-local level in the 2-proc tiled phase"
+    sh_t = NamedSharding(mesh_t, P("ty", "tx", None))
+
+    # inputs shard over (ty, tx): feed each process its local rows
+    def shard_rows(full):
+        # ty axis (2) maps to processes 0/1 here (devices 0-3 = proc 0 row 0)
+        k = full.shape[0] // 2
+        return jax.make_array_from_process_local_data(
+            sh_t, np.ascontiguousarray(full[pid * k : (pid + 1) * k])
+        )
+
+    ta = shard_rows(a[0].astype(np.float32))
+    tb = shard_rows(b[0].astype(np.float32))
+    # ownership tables shard over (ty, tx) as well: feed local ty rows
+    own_g = {
+        k: (
+            jax.make_array_from_process_local_data(
+                sh_t, np.asarray(idx)[pid : pid + 1]
+            ),
+            jax.make_array_from_process_local_data(
+                sh_t, np.asarray(valid)[pid : pid + 1]
+            ),
+        )
+        for k, (idx, valid) in own.items()
+    }
+    tcompiled = jax.jit(tfn).lower(ta, tb, own_g).compile()
+    _dist.global_state.client.wait_at_barrier(
+        "ofdis_tiled_compiled", timeout_in_ms=600_000
+    )
+    _log("tiled barrier passed; executing")
+    tflow, _cc = tcompiled(ta, tb, own_g)
+    got_t = np.asarray(tflow.addressable_shards[0].data)
+    np.testing.assert_allclose(got_t, ref1, rtol=1e-3, atol=1e-3)
+    print("DIST_TILED_OK", flush=True)
+
     jax.distributed.shutdown()
     print("DIST_OK", flush=True)
 

@@ -72,4 +72,5 @@ def test_two_process_batched_flow():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert "DIST_SPATIAL_OK" in out, f"worker {pid} no DIST_SPATIAL_OK:\n{out[-2000:]}"
+        assert "DIST_TILED_OK" in out, f"worker {pid} no DIST_TILED_OK:\n{out[-2000:]}"
         assert "DIST_OK" in out, f"worker {pid} no DIST_OK:\n{out[-2000:]}"
