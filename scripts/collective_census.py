@@ -110,6 +110,18 @@ def main():
         z, z).compile().as_text()
     report["cases"]["spatial_flow_tiled_2x2"] = census(txt)
 
+    # 3-axis (data, ty, tx): the data axis must add ZERO collectives — the
+    # census must equal the per-pair (ty, tx) structure (batch members are
+    # independent; only the tile axes communicate).
+    from of_dis_tpu.parallel.multihost import flow_2d_tiled, mesh_3d
+
+    zb = jnp.zeros((2, h, w, 1), jnp.float32)
+    mesh3 = mesh_3d(n_data=2, n_ty=2, n_tx=2)
+    txt = jax.jit(
+        lambda a, b: flow_2d_tiled(a, b, cfg, mesh3)
+    ).lower(zb, zb).compile().as_text()
+    report["cases"]["flow_2d_tiled_2x2x2"] = census(txt)
+
     with open(os.path.join(ROOT, "collective_census.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))

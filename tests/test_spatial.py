@@ -246,6 +246,19 @@ def test_spatial_flow_tiled_2d_memory_scales(smooth_pair):
     cp = c["collective-permute"]
     assert cp["bytes"] / cp["count"] < h * w * 4 / 8, c
 
+    # 3-axis composition (data, ty, tx): the data axis must add ZERO
+    # collectives — at one pair per data shard, the partitioned module's
+    # collective census must be IDENTICAL to the per-pair (ty, tx) one
+    # (batch members are independent; only tile axes communicate).
+    from of_dis_tpu.parallel.multihost import flow_2d_tiled, mesh_3d
+
+    mesh3 = mesh_3d(n_data=2, n_ty=2, n_tx=2)
+    zb = jnp.zeros((2, h, w, 1), jnp.float32)
+    txt3 = jax.jit(
+        lambda a, b: flow_2d_tiled(a, b, cfg, mesh3)
+    ).lower(zb, zb).compile().as_text()
+    assert census(txt3) == c, (census(txt3), c)
+
 
 def test_spatial_flow_tiled_2d_fb_merge_matches_single_device(smooth_pair):
     """fb-merge in the tiled 2-D path: backward search on the same tile
