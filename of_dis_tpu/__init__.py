@@ -12,11 +12,13 @@ Public API:
     dis_stereo(img1, img2, cfg) -> (H, W) disparity
     DISConfig, operating_point, auto_first_scale
     io.read_flo / write_flo / read_pfm / write_pfm / load_image
+    viz.flow_to_color / disparity_to_gray / save_image
 """
 
 from .config import DISConfig, auto_first_scale, operating_point
 from .models.dis import dis_flow, dis_raw, dis_stereo
 from . import io
+from .utils import viz
 
 __version__ = "0.1.0"
 
@@ -28,4 +30,5 @@ __all__ = [
     "dis_stereo",
     "dis_raw",
     "io",
+    "viz",
 ]

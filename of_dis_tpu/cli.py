@@ -93,6 +93,10 @@ def main(argv=None) -> int:
     ap.add_argument("--camlr", type=int, default=0, choices=[0, 1])
     ap.add_argument("--init-flow", default=None,
                     help=".flo warm start at the coarsest scale (oflow.cpp:217-220)")
+    ap.add_argument("--viz", default=None, metavar="IMG",
+                    help="also write a visualization image (Middlebury color "
+                         "wheel for flow, grayscale ramp for disparity) — the "
+                         "reference's DISVISUAL display, live (oflow.cpp:307-335)")
     ap.add_argument("-v", "--verbosity", type=int, default=2)
     args = ap.parse_args(argv)
 
@@ -150,6 +154,13 @@ def main(argv=None) -> int:
             io.write_flo(args.out, out)
         else:
             io.write_pfm(args.out, out[..., 0])
+    if args.viz:
+        from .utils import viz
+
+        if mode == "flow":
+            viz.save_image(args.viz, viz.flow_to_color(out))
+        else:
+            viz.save_image(args.viz, viz.disparity_to_gray(out))
     if args.verbosity <= 1:
         # at verbosity 2 the instrumented path already printed the total
         timer.report()
