@@ -788,9 +788,11 @@ def gn_pallas_applicable(sy: int, sx: int, psz: int, c: int, n: int) -> bool:
 
 # Feed the GN kernel the coarse 64-wide column band instead of XLA-selected
 # sx-wide windows; the fine select runs in VMEM (band_select prologue).
-# Kills the one-hot multiply-reduce that was the largest remaining XLA op at
-# op1's finest level (238 us/call of 2310, profile r3).  Default OFF until
-# measured on the real TPU (repo convention: measure before defaulting).
+# Measured on real v5e (bench_logs/r4_ab_band.json, 2026-08-18): op1
+# 10044->9898 Hz (-1.5% wall, device flat), op3 59.6->60.1 Hz (+0.8% wall,
+# device 21.0->20.0 ms).  Neither op point clears the 5% noise floor in the
+# same direction, so the simpler XLA column select stays the default; the
+# flag remains as an escape hatch for future toolchains.
 GN_BAND_SELECT = os.environ.get("OF_DIS_GN_BAND_SELECT", "0") != "0"
 
 
