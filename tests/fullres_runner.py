@@ -22,6 +22,10 @@ def main():
     fdir, outdir = sys.argv[1], sys.argv[2]
     os.makedirs(outdir, exist_ok=True)
 
+    # Fresh environments may not have the package pip-installed; the repo
+    # root (parent of tests/) always works as an import path.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/of_dis_tpu_jax_cache")
