@@ -65,24 +65,37 @@ def _col2im_accumulate(
     n, pp, k = vals.shape
     noph, nopw = geo.noph, geo.nopw
     # Patch index order is i = x*noph + y (patchgrid.cpp:61-75).
-    grid = vals.reshape(nopw, noph, pp, k).transpose(3, 1, 0, 2)  # (K, noph, nopw, psz²)
+    grid = vals.reshape(nopw, noph, psz, psz, k).transpose(1, 0, 2, 3, 4)
 
-    # Flipped-delta kernel: channel c = j*psz + i contributes at output
-    # offset (j, i) relative to the footprint origin.
-    eye = np.zeros((psz, psz, pp, 1), np.float32)
-    for j in range(psz):
-        for i in range(psz):
-            eye[psz - 1 - j, psz - 1 - i, j * psz + i, 0] = 1.0
-    kern = jnp.asarray(eye)
-
-    full = jax.lax.conv_general_dilated(
-        grid,
-        kern,
-        window_strides=(1, 1),
-        padding=((psz - 1, psz - 1), (psz - 1, psz - 1)),
-        lhs_dilation=(steps, steps),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[..., 0]  # (K, (noph-1)*steps+psz, (nopw-1)*steps+psz)
+    # The grid is regular, so col2im decomposes into d^2 STATIC shifted
+    # adds (d = ceil(psz/steps)): inner offset j splits as dj*steps + a,
+    # and every (dj, di) block lands on the same steps-phase lattice.  The
+    # earlier formulation — conv_general_dilated with a psz^2-channel
+    # flipped-delta kernel — made XLA do Cin=psz^2 dense MACs per output
+    # pixel in bf16 (~5 GFLOP and 5.3 ms/call at op3's finest level);
+    # these shifted adds do the same overlap-add exactly, in f32, for
+    # psz^2/d^2 times less work, deterministically (fixed add order).
+    d = -(-psz // steps)
+    pin = d * steps
+    if pin != psz:
+        grid = jnp.pad(
+            grid, ((0, 0), (0, 0), (0, pin - psz), (0, pin - psz), (0, 0))
+        )
+    # inner (j, i) -> (dj, a, di, b); put phases (a, b) next to their grid
+    # axes so each (dj, di) term is a contiguous slice
+    v = grid.reshape(noph, nopw, d, steps, d, steps, k)
+    v = v.transpose(0, 3, 1, 5, 2, 4, 6)  # (noph, a, nopw, b, dj, di, k)
+    fj, fi = noph + d - 1, nopw + d - 1
+    acc = jnp.zeros((fj, steps, fi, steps, k), vals.dtype)
+    for dj in range(d):
+        for di in range(d):
+            acc = acc.at[dj : dj + noph, :, di : di + nopw, :, :].add(
+                v[..., dj, di, :]
+            )
+    full = acc.reshape(fj * steps, fi * steps, k)
+    # crop the (d*steps - psz) zero-pad tail back off
+    full = full[: (noph - 1) * steps + psz, : (nopw - 1) * steps + psz]
+    full = full.transpose(2, 0, 1)  # (K, (noph-1)*steps+psz, (nopw-1)*steps+psz)
 
     # full row r corresponds to image row r + offh + lb (same for cols).
     lb = -(psz // 2)

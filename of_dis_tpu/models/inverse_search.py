@@ -39,7 +39,11 @@ import numpy as np
 import os
 
 from ..config import DISConfig
-from ..ops.interp import extract_int_matmul, gather_windows_rows
+from ..ops.interp import (
+    extract_grid_patches,
+    extract_int_matmul,
+    gather_windows_rows,
+)
 
 # Below this many padded pixels per level, patch extraction runs as MXU
 # matmuls (ops/interp.py: extract_*_matmul) instead of an element gather —
@@ -135,17 +139,35 @@ def build_templates(
         dx = extract_int_matmul(dx_a, pt_ref, psz, pad)
         dy = extract_int_matmul(dy_a, pt_ref, psz, pad)
     else:
-        # Large level: chunked row-gather windows (sy = sx = psz, integer
-        # bases) — element gathers at 10 ns/element would dominate here.
-        # (Channel-stacking im/dx/dy into one C=3 gather measures 2x SLOWER
-        # than three C=1 gathers on v5e — XLA handles the wider band badly.)
-        lb = -(psz // 2)
-        cy = jnp.floor(pt_ref[:, 1] + 0.5).astype(jnp.int32) + pad + lb
-        cx = jnp.floor(pt_ref[:, 0] + 0.5).astype(jnp.int32) + pad + lb
+        # Large level.  Template positions are the STATIC patch grid
+        # (patchgrid.cpp:42-75: offset + steps*i), so when pt_ref is the
+        # full grid (callers like parallel/spatial.py pass patch SUBSETS —
+        # detected by the static count mismatch) the extraction is one
+        # identity-filter conv HLO with no gathers at all.
+        from .grid import level_geometry
 
-        def ext(img):
-            wnd = gather_windows_rows(img, cy, cx, psz, psz)  # (i, C, j, N)
-            return jnp.transpose(wnd, (3, 2, 0, 1))  # (N, j, i, C)
+        hp, wp = im_a.shape[:2]
+        geo = level_geometry(wp - 2 * pad, hp - 2 * pad, cfg)
+        lb = -(psz // 2)
+        if geo.n_patches == pt_ref.shape[0]:
+            y0 = int(geo.pt_ref[0, 1]) + pad + lb
+            x0 = int(geo.pt_ref[0, 0]) + pad + lb
+
+            def ext(img):
+                return extract_grid_patches(
+                    img, y0, x0, cfg.steps, geo.noph, geo.nopw, psz
+                )
+        else:
+            # Chunked row-gather fallback (sy = sx = psz, integer bases) —
+            # element gathers at 10 ns/element would dominate here.
+            # (Channel-stacking im/dx/dy into one C=3 gather measures 2x
+            # SLOWER than three C=1 gathers on v5e.)
+            cy = jnp.floor(pt_ref[:, 1] + 0.5).astype(jnp.int32) + pad + lb
+            cx = jnp.floor(pt_ref[:, 0] + 0.5).astype(jnp.int32) + pad + lb
+
+            def ext(img):
+                wnd = gather_windows_rows(img, cy, cx, psz, psz)  # (i, C, j, N)
+                return jnp.transpose(wnd, (3, 2, 0, 1))  # (N, j, i, C)
 
         tmp = ext(im_a)
         dx = ext(dx_a)

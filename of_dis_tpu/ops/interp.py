@@ -56,6 +56,45 @@ def extract_int_matmul(
     return jnp.transpose(out, (0, 1, 3, 2))
 
 
+def extract_grid_patches(
+    img: jnp.ndarray,   # (Hp, Wp, C) padded level image
+    y0: int,            # static top-left row of patch (i=0, j=0), padded coords
+    x0: int,
+    steps: int,
+    noph: int,
+    nopw: int,
+    psz: int,
+) -> jnp.ndarray:
+    """Static regular-grid patch extraction: (N, psz, psz, C), N x-major
+    (n = i*noph + j, matching models/grid.py).
+
+    Template positions are data-INDEPENDENT (the patch grid of
+    patchgrid.cpp:42-75 is offset + steps*i), so on large levels the
+    row-gather can be replaced by ONE conv_general_dilated_patches HLO: an
+    identity-filter convolution the MXU executes directly.  With HIGHEST
+    precision the 0/1 filter makes it bit-exact (each output sums exactly
+    one unscaled input; verified on-device vs the gather path).  Measured
+    (v5e, op3 finest level, 12825 patches x 3 arrays, B=4): 8.3 ms/call of
+    chunked row takes -> ~0.4 ms.
+    """
+    c = img.shape[2]
+    sub = jax.lax.slice(
+        img,
+        (y0, x0, 0),
+        (y0 + steps * (noph - 1) + psz, x0 + steps * (nopw - 1) + psz, c),
+    )
+    out = jax.lax.conv_general_dilated_patches(
+        sub[None],
+        filter_shape=(psz, psz),
+        window_strides=(steps, steps),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]  # (noph, nopw, C*psz*psz), feature order (C, fy, fx) channel-major
+    out = out.reshape(noph, nopw, c, psz, psz)
+    return jnp.transpose(out, (1, 0, 3, 4, 2)).reshape(noph * nopw, psz, psz, c)
+
+
 # Max patches whose full-width row band is materialized at once; larger
 # grids (op3/op4 fine levels: 10k-50k patches) are built in lax.map chunks
 # to bound the band at chunk*sy*Wp*C floats per (vmapped-batch) step.
@@ -68,6 +107,11 @@ GATHER_CHUNK = int(os.environ.get("OF_DIS_GATHER_CHUNK", 1024))
 BAND_MATMUL_MAX_FLOPS = int(
     os.environ.get("OF_DIS_BAND_MATMUL_MAX_FLOPS", 20_000_000_000 // 32)
 )
+
+# Row-BLOCK take granularity for the wide-level window fetch: >1 fetches
+# blk-row blocks (sy/blk + 1 latency-bound takes per window instead of sy)
+# and selects the sy rows at offset by%blk in-register.  0/1 = per-row take.
+ROWBLOCK_TAKE = int(os.environ.get("OF_DIS_ROWBLOCK", 0))
 
 
 def gather_windows_rows(
@@ -145,10 +189,40 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
         v = imgp.reshape(hp, n64, stride * c)
         segv = jnp.concatenate(
             [v, jnp.roll(v, -1, axis=1)], axis=-1
-        ).reshape(hp * n64, segw * c)  # row (y, k) = img[y, 64k : 64k+128]
+        )  # (hp, n64, 128c): row (y, k) = img[y, 64k : 64k+128]
         seg0 = bx // stride
-        idx = (by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]) * n64 + seg0[:, None]
-        band = jnp.take(segv, idx.reshape(-1), axis=0)  # (N*sy, 128c)
+        if ROWBLOCK_TAKE > 1:
+            # Row-BLOCK take: the per-row take is latency-bound (~8 ns/row
+            # regardless of width), so fetch blk-row blocks — sy/blk + 1
+            # takes per window instead of sy — then pick the sy rows at
+            # offset by%blk with a where-chain over the blk static shifts
+            # (selects are exact; no one-hot multiply needed).
+            blk = ROWBLOCK_TAKE
+            nblk = (blk - 1 + sy - 1) // blk + 1
+            hpb = -(-hp // blk) + nblk  # tail blocks so byB+nblk-1 stays valid
+            segvb = jnp.pad(segv, ((0, hpb * blk - hp), (0, 0), (0, 0)))
+            segvb = (
+                segvb.reshape(hpb, blk, n64, segw * c)
+                .transpose(0, 2, 1, 3)
+                .reshape(hpb * n64, blk * segw * c)
+            )
+            byb, r0 = by // blk, by % blk
+            idx = (
+                byb[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
+            ) * n64 + seg0[:, None]
+            rows = jnp.take(segvb, idx.reshape(-1), axis=0).reshape(
+                n, nblk * blk, segw * c
+            )
+            bsel = rows[:, 0:sy]
+            for r in range(1, blk):
+                bsel = jnp.where(
+                    (r0 == r)[:, None, None], rows[:, r : r + sy], bsel
+                )
+            band = bsel.reshape(n * sy, segw * c)
+        else:
+            segv = segv.reshape(hp * n64, segw * c)
+            idx = (by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]) * n64 + seg0[:, None]
+            band = jnp.take(segv, idx.reshape(-1), axis=0)  # (N*sy, 128c)
         bxr = bx - seg0 * stride  # in [0, 64)
         # Pre-transpose coarse select: the 64-px aligned-32 subband that
         # covers [bxr, bxr+sx) (sx<=31, so base 32*(bxr//32) always works) —
