@@ -81,21 +81,26 @@ def _col2im_accumulate(
         grid = jnp.pad(
             grid, ((0, 0), (0, 0), (0, pin - psz), (0, pin - psz), (0, 0))
         )
-    # inner (j, i) -> (dj, a, di, b); put phases (a, b) next to their grid
-    # axes so each (dj, di) term is a contiguous slice
+    # inner (j, i) -> (dj, a, di, b); K-major so the overlap-add runs with
+    # the wide spatial axis on lanes.  Each (dj, di) term is PADDED into
+    # frame and the d^2 terms are summed — pads+adds fuse into one
+    # elementwise pass with no dynamic-update-slice chain (a .at[].add
+    # loop lowered to 16 sequential full-buffer DUS ops, ~8 ms/call at
+    # op3's finest level).
     v = grid.reshape(noph, nopw, d, steps, d, steps, k)
-    v = v.transpose(0, 3, 1, 5, 2, 4, 6)  # (noph, a, nopw, b, dj, di, k)
+    v = v.transpose(6, 0, 3, 1, 5, 2, 4)  # (k, noph, a, nopw, b, dj, di)
     fj, fi = noph + d - 1, nopw + d - 1
-    acc = jnp.zeros((fj, steps, fi, steps, k), vals.dtype)
+    acc = None
     for dj in range(d):
         for di in range(d):
-            acc = acc.at[dj : dj + noph, :, di : di + nopw, :, :].add(
-                v[..., dj, di, :]
+            t = jnp.pad(
+                v[..., dj, di],
+                ((0, 0), (dj, d - 1 - dj), (0, 0), (di, d - 1 - di), (0, 0)),
             )
-    full = acc.reshape(fj * steps, fi * steps, k)
+            acc = t if acc is None else acc + t
+    full = acc.reshape(k, fj * steps, fi * steps)
     # crop the (d*steps - psz) zero-pad tail back off
-    full = full[: (noph - 1) * steps + psz, : (nopw - 1) * steps + psz]
-    full = full.transpose(2, 0, 1)  # (K, (noph-1)*steps+psz, (nopw-1)*steps+psz)
+    full = full[:, : (noph - 1) * steps + psz, : (nopw - 1) * steps + psz]
 
     # full row r corresponds to image row r + offh + lb (same for cols).
     lb = -(psz // 2)

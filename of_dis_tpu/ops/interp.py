@@ -78,21 +78,32 @@ def extract_grid_patches(
     chunked row takes -> ~0.4 ms.
     """
     c = img.shape[2]
+    # Space-to-depth: split the subimage into (steps x steps) cells; patch
+    # inner offset j factors as dj*steps + a, so every patch is the (d x d)
+    # cell neighborhood of its grid point and the whole extraction is d^2
+    # STATIC outer-dim slices of the cell grid — no conv (an identity-
+    # filter conv starves the MXU at C=1: 18.5 ms/call for op3's three
+    # template arrays), no gather (the chunked row take it replaced was
+    # 8.3 ms/call).  One relayout in (cell split), one out (patches-last).
+    d = -(-psz // steps)
+    gj, gi = noph + d - 1, nopw + d - 1
     sub = jax.lax.slice(
-        img,
-        (y0, x0, 0),
-        (y0 + steps * (noph - 1) + psz, x0 + steps * (nopw - 1) + psz, c),
+        img, (y0, x0, 0), (y0 + gj * steps, x0 + gi * steps, c)
     )
-    out = jax.lax.conv_general_dilated_patches(
-        sub[None],
-        filter_shape=(psz, psz),
-        window_strides=(steps, steps),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]  # (noph, nopw, C*psz*psz), feature order (C, fy, fx) channel-major
-    out = out.reshape(noph, nopw, c, psz, psz)
-    return jnp.transpose(out, (1, 0, 3, 4, 2)).reshape(noph * nopw, psz, psz, c)
+    cells = sub.reshape(gj, steps, gi, steps, c)
+    out = jnp.stack(
+        [
+            cells[dj : dj + noph, :, di : di + nopw]
+            for dj in range(d)
+            for di in range(d)
+        ],
+        axis=0,
+    )  # (d*d, noph, a, nopw, b, C)
+    out = out.reshape(d, d, noph, steps, nopw, steps, c)
+    # (nopw, noph, j=(dj,a), i=(di,b), C)
+    out = jnp.transpose(out, (4, 2, 0, 3, 1, 5, 6))
+    out = out.reshape(noph * nopw, d * steps, d * steps, c)
+    return out[:, :psz, :psz]
 
 
 # Max patches whose full-width row band is materialized at once; larger
@@ -109,9 +120,12 @@ BAND_MATMUL_MAX_FLOPS = int(
 )
 
 # Row-BLOCK take granularity for the wide-level window fetch: >1 fetches
-# blk-row blocks (sy/blk + 1 latency-bound takes per window instead of sy)
-# and selects the sy rows at offset by%blk in-register.  0/1 = per-row take.
-ROWBLOCK_TAKE = int(os.environ.get("OF_DIS_ROWBLOCK", 0))
+# blk-row blocks (ceil((blk-1+sy-1)/blk)+1 takes per window instead of sy —
+# the take is latency-bound per row) and selects the sy rows at offset
+# by%blk in-register.  0/1 = per-row take.  Default 4 = the measured v5e
+# optimum at op3 (67.5 Hz vs 60.0 per-row, 64.0 @2, 64.8 @8, 63.3 @16:
+# fewer takes vs deeper where-chains + fetch inflation).
+ROWBLOCK_TAKE = int(os.environ.get("OF_DIS_ROWBLOCK", 4))
 
 
 def gather_windows_rows(
@@ -129,38 +143,79 @@ def gather_windows_rows(
     full-width rows of every window at once, then a fused one-hot reduce
     over Wp selects the sx columns (VPU, patches on lanes).
 
-    return_band=True (requires sx <= 31 and Wp > 64) stops after the coarse
-    32-aligned select and returns the (64, C, sy, N) band instead: window n
-    occupies band columns [bx_n % 32, bx_n % 32 + sx).  The fused GN kernel
-    consumes this directly and runs the fine column select in VMEM
-    (pallas_kernels.py band_select), skipping the one-hot multiply-reduce
-    that was the largest XLA op left at op1's finest level (~10% device
-    time, profile r3).
+    return_band=True (requires sx <= 31 and Wp > 64) stops after the row
+    take and returns the (64, C, sy, N) band instead: window n occupies
+    band columns [bx_n % 32, bx_n % 32 + sx) (the 32-px segment stride
+    makes this hold directly).  The fused GN kernel consumes this and runs
+    the fine column select in VMEM (pallas_kernels.py band_select),
+    skipping the one-hot multiply-reduce that was the largest XLA op left
+    at op1's finest level (~10% device time, profile r3).
     """
     if return_band:
         assert sx <= 31 and img.shape[1] > 64
     n = by.shape[0]
     ow = 64 if return_band else sx
+    hp, wp, c = img.shape
+    # The segmented-image build for the wide branch is chunk-invariant:
+    # construct it ONCE here so the lax.map below captures it as a loop
+    # constant instead of re-deriving it inside every chunk iteration.
+    nc = min(n, GATHER_CHUNK)
+    use_wide = (sx <= 31 and wp > 96) and (
+        return_band or nc * sy * hp * wp * c * 2 > BAND_MATMUL_MAX_FLOPS
+    )
+    wide_seg = _wide_seg(img, sy) if use_wide else None
     if n > GATHER_CHUNK:
-        c = img.shape[2]
         npad = (-n) % GATHER_CHUNK
         k = (n + npad) // GATHER_CHUNK
         byp = jnp.pad(by, (0, npad)).reshape(k, GATHER_CHUNK)
         bxp = jnp.pad(bx, (0, npad)).reshape(k, GATHER_CHUNK)
         outs = jax.lax.map(
-            lambda ab: _gather_windows_rows(img, ab[0], ab[1], sy, sx, return_band),
+            lambda ab: _gather_windows_rows(
+                img, ab[0], ab[1], sy, sx, return_band, wide_seg
+            ),
             (byp, bxp),
         )  # (k, ow, C, sy, chunk)
         out = jnp.moveaxis(outs, 0, 3).reshape(ow, c, sy, k * GATHER_CHUNK)
         return out[..., :n]
-    return _gather_windows_rows(img, by, bx, sy, sx, return_band)
+    return _gather_windows_rows(img, by, bx, sy, sx, return_band, wide_seg)
+
+
+def _wide_seg(img, sy: int):
+    """Chunk-invariant prep of the wide branch: the 64-px overlapping
+    segment view (32-px stride), in row-BLOCK form when ROWBLOCK_TAKE>1.
+
+    32-px stride means any window with sx <= 31 (the branch gate) fits ONE
+    64-px segment at offset bx % 32 — which is ALREADY the band contract
+    the fine select / fused kernel expects, so the former 128-px-segment
+    coarse 32-align select (a where + two relayout fusions, ~3 ms/call at
+    op3's finest level) disappears and the take moves half the bytes."""
+    hp, wp, c = img.shape
+    stride, segw = 32, 64
+    ns = -(-wp // stride) + 1
+    imgp = jnp.pad(img, ((0, 0), (0, ns * stride - wp), (0, 0)))
+    v = imgp.reshape(hp, ns, stride * c)
+    segv = jnp.concatenate(
+        [v, jnp.roll(v, -1, axis=1)], axis=-1
+    )  # (hp, ns, 64c): row (y, k) = img[y, 32k : 32k+64]
+    if ROWBLOCK_TAKE > 1:
+        blk = ROWBLOCK_TAKE
+        nblk = (blk - 1 + sy - 1) // blk + 1
+        hpb = -(-hp // blk) + nblk  # tail blocks so byB+nblk-1 stays valid
+        segvb = jnp.pad(segv, ((0, hpb * blk - hp), (0, 0), (0, 0)))
+        return (
+            segvb.reshape(hpb, blk, ns, segw * c)
+            .transpose(0, 2, 1, 3)
+            .reshape(hpb * ns, blk * segw * c)
+        )
+    return segv.reshape(hp * ns, segw * c)
 
 
 def _gather_windows_rows(img, by, bx, sy: int, sx: int,
-                         return_band: bool = False) -> jnp.ndarray:
+                         return_band: bool = False, wide_seg=None) -> jnp.ndarray:
     hp, wp, c = img.shape
     n = by.shape[0]
-    if not return_band and n * sy * hp * wp * c * 2 <= BAND_MATMUL_MAX_FLOPS:
+    if wide_seg is None and not return_band and (
+            n * sy * hp * wp * c * 2 <= BAND_MATMUL_MAX_FLOPS):
         # Small level: one-hot MXU matmul beats the row gather (element and
         # even row gathers are latency-bound at ~8 ns/row on TPU), and the
         # transposed product (Wp*C, Hp) @ (Hp, sy*N) lands the band in the
@@ -171,25 +226,18 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
         band = jnp.dot(
             img.reshape(hp, wp * c).T, R, preferred_element_type=jnp.float32
         ).reshape(wp, c, sy, n)  # (Wp, C, sy, N)
-    elif sx <= 31 and wp > 96:
-        # Wide level: ONE covering 128-px overlapping segment per window row
-        # (64-px stride, so any <=64-px window fits a single segment) instead
-        # of full rows — Wp/128x less data than full rows, half the take
-        # rows of the earlier 2x32-px formulation, and every downstream op
-        # runs on full 128-wide vector lanes (the 32-wide chain measured
-        # ~25% lane utilization and dominated the op3/op4 window build).
-        # Gate at wp > 96: for wp 97..128 both branches move 128 bytes/row
-        # but this one runs full 128-wide lanes (align-32 runs quarter
-        # lanes); past wp=128 align-32 also moves MORE bytes per row
-        # (ceil(wp/32)*32 > 128) — mid-width levels (op1/op2 finest,
-        # 129..256 px) belong here too.
-        stride, segw = 64, 128
-        n64 = -(-wp // stride) + 1
-        imgp = jnp.pad(img, ((0, 0), (0, n64 * stride - wp), (0, 0)))
-        v = imgp.reshape(hp, n64, stride * c)
-        segv = jnp.concatenate(
-            [v, jnp.roll(v, -1, axis=1)], axis=-1
-        )  # (hp, n64, 128c): row (y, k) = img[y, 64k : 64k+128]
+    elif wide_seg is not None or (sx <= 31 and wp > 96):
+        # Wide level: ONE covering 64-px overlapping segment per window row
+        # (32-px stride, so any <=31-px window fits a single segment) —
+        # Wp/64x less data than full rows, and the take lands the window in
+        # a 64-px band at offset bx % 32, which is exactly the band layout
+        # the fine select (and the fused kernel's band_select) consumes.
+        # Gate at wp > 96: below that the align-32 branch moves the same
+        # bytes per row without the segment-view build.
+        stride, segw = 32, 64
+        ns = -(-wp // stride) + 1
+        if wide_seg is None:
+            wide_seg = _wide_seg(img, sy)
         seg0 = bx // stride
         if ROWBLOCK_TAKE > 1:
             # Row-BLOCK take: the per-row take is latency-bound (~8 ns/row
@@ -199,18 +247,11 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
             # (selects are exact; no one-hot multiply needed).
             blk = ROWBLOCK_TAKE
             nblk = (blk - 1 + sy - 1) // blk + 1
-            hpb = -(-hp // blk) + nblk  # tail blocks so byB+nblk-1 stays valid
-            segvb = jnp.pad(segv, ((0, hpb * blk - hp), (0, 0), (0, 0)))
-            segvb = (
-                segvb.reshape(hpb, blk, n64, segw * c)
-                .transpose(0, 2, 1, 3)
-                .reshape(hpb * n64, blk * segw * c)
-            )
             byb, r0 = by // blk, by % blk
             idx = (
                 byb[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
-            ) * n64 + seg0[:, None]
-            rows = jnp.take(segvb, idx.reshape(-1), axis=0).reshape(
+            ) * ns + seg0[:, None]
+            rows = jnp.take(wide_seg, idx.reshape(-1), axis=0).reshape(
                 n, nblk * blk, segw * c
             )
             bsel = rows[:, 0:sy]
@@ -218,22 +259,15 @@ def _gather_windows_rows(img, by, bx, sy: int, sx: int,
                 bsel = jnp.where(
                     (r0 == r)[:, None, None], rows[:, r : r + sy], bsel
                 )
-            band = bsel.reshape(n * sy, segw * c)
+            band = bsel.reshape(n, sy, segw, c)
         else:
-            segv = segv.reshape(hp * n64, segw * c)
-            idx = (by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]) * n64 + seg0[:, None]
-            band = jnp.take(segv, idx.reshape(-1), axis=0)  # (N*sy, 128c)
-        bxr = bx - seg0 * stride  # in [0, 64)
-        # Pre-transpose coarse select: the 64-px aligned-32 subband that
-        # covers [bxr, bxr+sx) (sx<=31, so base 32*(bxr//32) always works) —
-        # halves the patches-last transpose volume.
-        b32 = (bxr // 32)[:, None, None, None].astype(jnp.int32)
-        bv = band.reshape(n, sy, segw, c)
-        band = jnp.where(b32 == 0, bv[:, :, :64], bv[:, :, 32:96])
+            idx = (by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]) * ns + seg0[:, None]
+            band = jnp.take(wide_seg, idx.reshape(-1), axis=0)  # (N*sy, 64c)
+            band = band.reshape(n, sy, segw, c)
         band = band.transpose(2, 3, 1, 0)  # (64, C, sy, N)
         if return_band:
             return band
-        bx = bxr - 32 * (bxr // 32)  # in [0, 32)
+        bx = bx - seg0 * stride  # in [0, 32)
         wp = 64
     else:
         rows = by[:, None] + jnp.arange(sy, dtype=jnp.int32)[None, :]  # (N, sy)

@@ -127,7 +127,7 @@ def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
             import shutil
 
             sys.path.insert(0, HERE)
-            from profile_tpu import parse_trace
+            from profile_tpu import parse_trace_busy
 
             shutil.rmtree(trace_dir, ignore_errors=True)
             ncal = 3
@@ -136,9 +136,11 @@ def bench_ours(cfg, img1, img2, B=16, nq=32, reps=3, trace_dir=None):
                 for _ in range(ncal):
                     last = run(a, b)
                 np.asarray(last)
-            ops = parse_trace(trace_dir)
-            total_ps = sum(t for t, _ in ops.values())
-            device_ms = total_ps / 1e9 / ncal / B
+            # union of event intervals, NOT the per-op duration sum: while
+            # ops re-emit their body fusions, so the sum double-counts loop
+            # bodies (it exceeded wall-clock at op3/op4)
+            busy_ps = parse_trace_busy(trace_dir)
+            device_ms = busy_ps / 1e9 / ncal / B
         except Exception as e:  # CPU backend / no protoc: wall-clock only
             print(f"  (no device trace: {e})", file=sys.stderr)
 

@@ -128,6 +128,44 @@ def parse_trace(trace_dir, plane_substr="TPU", line_name="XLA Ops"):
     return out
 
 
+def parse_trace_busy(trace_dir, plane_substr="TPU", line_name="XLA Ops"):
+    """-> union busy picoseconds: merged event intervals per line.
+
+    Robust to NESTED events: a `while` op's trace duration includes its
+    body fusions, which are ALSO emitted as events — summing durations
+    double-counts loop bodies (op3's summed 'device time' exceeded wall by
+    25%).  The union is the honest device-busy number."""
+    pbs = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")))
+    if not pbs:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    mod = load_xplane_module()
+    space = mod.XSpace()
+    with open(pbs[-1], "rb") as f:
+        space.ParseFromString(f.read())
+    total = 0
+    for plane in space.planes:
+        if plane_substr not in plane.name:
+            continue
+        for line in plane.lines:
+            if line_name and line.name != line_name:
+                continue
+            iv = sorted(
+                (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                for ev in line.events
+            )
+            cur_s = cur_e = None
+            for s, e in iv:
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        total += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            if cur_e is not None:
+                total += cur_e - cur_s
+    return total
+
+
 def classify(name: str) -> str:
     """Rough bucket for an XLA op name."""
     n = name.lower()
@@ -189,8 +227,11 @@ def main():
 
     ops = parse_trace(args.trace_dir)
     total_ps = sum(t for t, _ in ops.values())
-    print(f"# op{args.op} {args.mode} B={args.batch}: device total "
-          f"{total_ps/1e9/args.calls:.3f} ms/call over {args.calls} calls")
+    busy_ps = parse_trace_busy(args.trace_dir)
+    print(f"# op{args.op} {args.mode} B={args.batch}: device busy (union) "
+          f"{busy_ps/1e9/args.calls:.3f} ms/call; per-op sum "
+          f"{total_ps/1e9/args.calls:.3f} ms/call (while rows INCLUDE their "
+          f"bodies) over {args.calls} calls")
     print(f"{'us/call':>10} {'%':>5} {'count':>6}  {'bucket':<12} name")
     rows = sorted(ops.items(), key=lambda kv: -kv[1][0])
     for name, (t, c) in rows[: args.top]:
